@@ -1,0 +1,198 @@
+"""Multigrid tests against analytic elliptic solutions.
+
+Oracles come from the reference's example/regression scripts:
+* constant-coefficient Poisson Dirichlet (A Multigrid Tutorial p.64 problem):
+  truncation errors 4.07e-4 / 1.02e-4 / 2.57e-5 at 16/32/64^2
+  (multigrid/tests/mg_convergence.txt);
+* variable-coefficient Poisson (mg_test_vc_dirichlet.py);
+* general-form inhomogeneous problem (mg_test_general_inhomogeneous.py);
+* EdgeCoeffs exact averaging (multigrid/tests/test_multigrid_comps.py).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+import pyro2_tpu.mesh.boundary as bnd
+from pyro2_tpu.mesh import patch
+from pyro2_tpu.mesh.grid import Grid2d
+from pyro2_tpu.mesh.indexer import ai
+from pyro2_tpu.multigrid import MG
+from pyro2_tpu.multigrid.edge_coeffs import EdgeCoeffs
+from pyro2_tpu.multigrid.general_MG import GeneralMG2d
+from pyro2_tpu.multigrid.variable_coeff_MG import VarCoeffCCMG2d
+
+
+def _l2(e, g):
+    return float(np.sqrt(g.dx * g.dy *
+                         np.sum(np.asarray(ai(e, g).v()) ** 2)))
+
+
+class TestEdgeCoeffs:
+    def test_uniform_eta(self):
+        g = Grid2d(8, 8, ng=1)
+        eta = jnp.full((g.qx, g.qy), 3.0)
+        e = EdgeCoeffs(g, eta)
+        # interior edge values = eta/dx^2
+        np.testing.assert_allclose(
+            np.asarray(e.x[g.ilo:g.ihi + 2, g.jlo:g.jhi + 1]),
+            3.0 / g.dx ** 2)
+        # restriction preserves a constant coefficient
+        ec = e.restrict()
+        cg = g.coarse_like(2)
+        np.testing.assert_allclose(
+            np.asarray(ec.x[cg.ilo:cg.ihi + 2, cg.jlo:cg.jhi + 1]),
+            3.0 / cg.dx ** 2)
+
+    def test_linear_eta_exact(self):
+        # eta = x: edge value at i-1/2 should be average of neighbors = x_l
+        g = Grid2d(8, 8, ng=1)
+        eta = jnp.asarray(g.x2d)
+        e = EdgeCoeffs(g, eta)
+        expected = g.xl2d[g.ilo:g.ihi + 2, g.jlo:g.jhi + 1] / g.dx ** 2
+        np.testing.assert_allclose(
+            np.asarray(e.x[g.ilo:g.ihi + 2, g.jlo:g.jhi + 1]), expected,
+            rtol=1e-13)
+
+
+class TestPoissonDirichlet:
+    """u_xx + u_yy = f with u = (x^2-x^4)(y^4-y^2) exact."""
+
+    @staticmethod
+    def _solve(N):
+        def true(x, y):
+            return (x ** 2 - x ** 4) * (y ** 4 - y ** 2)
+
+        def f(x, y):
+            return -2.0 * ((1.0 - 6.0 * x ** 2) * y ** 2 * (1.0 - y ** 2) +
+                           (1.0 - 6.0 * y ** 2) * x ** 2 * (1.0 - x ** 2))
+
+        a = MG.CellCenterMG2d(N, N, verbose=0,
+                              xl_BC_type="dirichlet", yl_BC_type="dirichlet",
+                              xr_BC_type="dirichlet", yr_BC_type="dirichlet")
+        a.init_zeros()
+        a.init_RHS(jnp.asarray(f(a.x2d, a.y2d)))
+        a.solve(rtol=1.e-11)
+
+        v = a.get_solution()
+        e = v - jnp.asarray(true(a.x2d, a.y2d))
+        return _l2(e, a.soln_grid), a
+
+    def test_truncation_error_16(self):
+        err, a = self._solve(16)
+        assert abs(err - 4.07e-4) / 4.07e-4 < 0.03, err
+        assert a.num_cycles < 15
+        assert a.residual_error < 1.e-11
+
+    def test_truncation_error_32(self):
+        err, _ = self._solve(32)
+        assert abs(err - 1.02e-4) / 1.02e-4 < 0.03, err
+
+    def test_truncation_error_64(self):
+        err, _ = self._solve(64)
+        assert abs(err - 2.57e-5) / 2.57e-5 < 0.03, err
+
+
+class TestPoissonPeriodicNeumann:
+    def test_neumann_periodic_mix(self):
+        # u = cos(2 pi x) * y(1-y)-ish problem: instead verify that a pure
+        # periodic Poisson solve reproduces a sinusoid
+        N = 32
+
+        def true(x, y):
+            return np.sin(2 * np.pi * x) * np.sin(2 * np.pi * y)
+
+        def f(x, y):
+            return -8 * np.pi ** 2 * true(x, y)
+
+        a = MG.CellCenterMG2d(N, N, verbose=0,
+                              xl_BC_type="periodic", xr_BC_type="periodic",
+                              yl_BC_type="periodic", yr_BC_type="periodic")
+        a.init_zeros()
+        a.init_RHS(jnp.asarray(f(a.x2d, a.y2d)))
+        a.solve(rtol=1.e-11)
+        v = np.asarray(a.get_solution())
+        # periodic solutions have a free constant: compare demeaned fields
+        g = a.soln_grid
+        vi = v[g.ilo:g.ihi + 1, g.jlo:g.jhi + 1]
+        ti = true(a.x2d, a.y2d)[g.ilo:g.ihi + 1, g.jlo:g.jhi + 1]
+        err = (vi - vi.mean()) - (ti - ti.mean())
+        l2 = np.sqrt(g.dx * g.dy * np.sum(err ** 2))
+        assert l2 < 5e-3, l2
+
+
+class TestVarCoeff:
+    def test_vc_dirichlet(self):
+        N = 32
+
+        def true(x, y):
+            return np.sin(2.0 * np.pi * x) * np.sin(2.0 * np.pi * y)
+
+        def alpha(x, y):
+            return 2.0 + np.cos(2.0 * np.pi * x) * np.cos(2.0 * np.pi * y)
+
+        def f(x, y):
+            return (-16.0 * np.pi ** 2 *
+                    (np.cos(2 * np.pi * x) * np.cos(2 * np.pi * y) + 1) *
+                    np.sin(2 * np.pi * x) * np.sin(2 * np.pi * y))
+
+        g = Grid2d(N, N, ng=1)
+        bc_c = bnd.BC(xlb="neumann", xrb="neumann",
+                      ylb="neumann", yrb="neumann")
+        c = jnp.asarray(alpha(g.x2d, g.y2d))
+
+        a = VarCoeffCCMG2d(N, N,
+                           xl_BC_type="dirichlet", yl_BC_type="dirichlet",
+                           xr_BC_type="dirichlet", yr_BC_type="dirichlet",
+                           coeffs=c, coeffs_bc=bc_c, verbose=0)
+        a.init_zeros()
+        a.init_RHS(jnp.asarray(f(a.x2d, a.y2d)))
+        a.solve(rtol=1.e-11)
+
+        v = a.get_solution()
+        err = _l2(v - jnp.asarray(true(a.x2d, a.y2d)), a.soln_grid)
+        # 2nd-order truncation error at 32^2 for this problem is ~1e-2
+        assert err < 2.5e-2, err
+        assert a.residual_error < 1.e-11
+
+
+class TestGeneralMG:
+    def test_general_inhomogeneous(self):
+        N = 32
+
+        def true(x, y):
+            return np.cos(np.pi * x / 2.0) * np.cos(np.pi * y / 2.0)
+
+        def f(x, y):
+            return (-0.5 * np.pi * (x + 1.0) * np.sin(np.pi * y / 2.0) *
+                    np.cos(np.pi * x / 2.0) -
+                    0.5 * np.pi * (y + 1.0) * np.sin(np.pi * x / 2.0) *
+                    np.cos(np.pi * y / 2.0) +
+                    (-np.pi ** 2 * (x * y + 1.0) / 2.0 + 10.0) *
+                    np.cos(np.pi * x / 2.0) * np.cos(np.pi * y / 2.0))
+
+        g = Grid2d(N, N, ng=1)
+        d = patch.CellCenterData2d(g)
+        bc_c = bnd.BC(xlb="neumann", xrb="neumann",
+                      ylb="neumann", yrb="neumann")
+        for name in ["alpha", "beta", "gamma_x", "gamma_y"]:
+            d.register_var(name, bc_c)
+        d.create()
+        d.set_var("alpha", jnp.full((g.qx, g.qy), 10.0))
+        d.set_var("beta", jnp.asarray(g.x2d * g.y2d + 1.0))
+        d.set_var("gamma_x", jnp.ones((g.qx, g.qy)))
+        d.set_var("gamma_y", jnp.ones((g.qx, g.qy)))
+
+        a = GeneralMG2d(N, N,
+                        xl_BC_type="dirichlet", yl_BC_type="dirichlet",
+                        xr_BC_type="dirichlet", yr_BC_type="dirichlet",
+                        xl_BC=lambda y: np.cos(np.pi * y / 2.0),
+                        yl_BC=lambda x: np.cos(np.pi * x / 2.0),
+                        coeffs=d, verbose=0)
+        a.init_zeros()
+        a.init_RHS(jnp.asarray(f(a.x2d, a.y2d)))
+        a.solve(rtol=1.e-11)
+
+        v = a.get_solution()
+        err = _l2(v - jnp.asarray(true(a.x2d, a.y2d)), a.soln_grid)
+        assert err < 5e-3, err
+        assert a.residual_error < 1.e-11
