@@ -126,7 +126,17 @@ class CellCenterData2d:
 
     # -- access -------------------------------------------------------------
     def get_var(self, name):
-        """The (qx, qy) array for a stored or derived variable."""
+        """The (qx, qy) array for a stored or derived variable.
+
+        A list of names queries the derived-variable callbacks directly
+        (e.g. ["velocity", "soundspeed"] -> [u, v, cs]).
+        """
+        if not isinstance(name, str):
+            for f in self.derives:
+                var = f(self, name)
+                if var is not None and len(var) > 0:
+                    return var
+            raise KeyError(f"names {name} are not valid")
         try:
             n = self.names.index(name)
         except ValueError:

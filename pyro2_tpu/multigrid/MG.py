@@ -41,6 +41,20 @@ __all__ = ["CellCenterMG2d"]
 _CYCLE_CACHE = {}
 
 
+class _MGDataShim:
+    """Minimal CellCenterData2d stand-in for extended-BC dispatch on the
+    MG solution variable."""
+
+    def __init__(self, grid):
+        self.grid = grid
+        self.names = ["v"]
+        self.aux = {}
+        self.t = 0.0
+
+    def get_aux(self, key):
+        return self.aux.get(key, None)
+
+
 class CellCenterMG2d:
     """Multigrid solve of (alpha - beta L) phi = f on a square 2^m grid."""
 
@@ -146,7 +160,13 @@ class CellCenterMG2d:
     # ------------------------------------------------------------------
     def init_solution(self, data):
         """Set the initial guess for phi on the finest level."""
-        self.v[-1] = jnp.asarray(data)
+        data = jnp.asarray(data)
+        expect = (self.soln_grid.qx, self.soln_grid.qy)
+        if data.shape != expect:
+            raise ValueError(
+                f"solution shape {data.shape} does not match the MG "
+                f"solution grid {expect}")
+        self.v[-1] = data
 
     def init_zeros(self):
         """Zero the initial guess."""
@@ -154,7 +174,13 @@ class CellCenterMG2d:
 
     def init_RHS(self, data):
         """Set the RHS f on the finest level and record its norm."""
-        self.f[-1] = jnp.asarray(data)
+        data = jnp.asarray(data)
+        expect = (self.soln_grid.qx, self.soln_grid.qy)
+        if data.shape != expect:
+            raise ValueError(
+                f"RHS shape {data.shape} does not match the MG solution "
+                f"grid {expect} (build the RHS on mg.soln_grid)")
+        self.f[-1] = data
         self.source_norm = float(ai(self.f[-1], self.soln_grid).norm())
         if self.verbose:
             print("Source norm = ", self.source_norm)
@@ -220,7 +246,18 @@ class CellCenterMG2d:
                 self.nsmooth, self.nsmooth_bottom)
 
     def _fill_v(self, level, v):
-        return fill_ghost(v, self.grids[level], self.bc_v[level])
+        v = fill_ghost(v, self.grids[level], self.bc_v[level])
+        # extended BC types (e.g. "moving_lid") registered via define_bc:
+        # dispatch with a minimal ccdata shim whose single variable is "v"
+        # (matching the reference's MG-level fill_BC("v"))
+        bc = self.bc_v[level]
+        for edge in ("xlb", "xrb", "ylb", "yrb"):
+            btype = getattr(bc, edge)
+            if btype in bnd.ext_bcs:
+                shim = _MGDataShim(self.grids[level])
+                stack = bnd.ext_bcs[btype](btype, edge, "v", shim, v[None])
+                v = stack[0]
+        return v
 
     def _residual(self, level, v, f, params):
         """r = f - alpha v + beta L v over the valid region (ghosts zero)."""

@@ -1,0 +1,197 @@
+"""Characteristic tracing and artificial viscosity, vectorized.
+
+Re-design of the reference's hottest numba kernels
+(/root/reference/pyro/compressible/interface.py:5-378): the per-cell 4x4
+eigen-system of `states` is unrolled analytically -- the left/right
+eigenvector dot products of the primitive-variable Euler Jacobian reduce to
+a handful of closed-form array expressions, so the whole tracing step is one
+fused XLA stencil pass instead of a scalar loop.
+
+Variable layout: stacks are (nvar, qx, qy) with primitive ordering
+(rho, u, v, p[, X...]).
+"""
+
+import jax.numpy as jnp
+
+from pyro2_tpu.mesh.indexer import ai
+
+__all__ = ["states", "artificial_viscosity"]
+
+
+def _win(a, g, buf=2):
+    return ai(a, g).v(buf=buf)
+
+
+def states(idir, g, dxa, dloga, dt, ivars, gamma, qv, dqv):
+    """Predict cell-centered primitive states to edges along one dimension.
+
+    Characteristic tracing (Colella 1990): reference states limited by the
+    fastest wave toward each face, plus the sum of carried characteristic
+    corrections sum_m beta_m r_m.  Follows interface.py:5-236 including the
+    spherical d(log A) geometric source.
+
+    Parameters: dxa is the per-cell spacing array (Lx or Ly), dloga the
+    geometric source array; qv/dqv the primitive stack and its limited
+    slopes.  Returns (q_l, q_r) full stacks; q_l[i] is the left state at
+    the i-1/2 interface.
+    """
+    irho, iu, iv, ip = ivars.irho, ivars.iu, ivars.iv, ivars.ip
+    nspec = ivars.naux
+    nq = ivars.nq
+
+    b = 2
+    q = _win(qv, g, b)          # (nq, win_x, win_y)
+    dq = _win(dqv, g, b)
+
+    dtdx = dt / _win(jnp.asarray(dxa), g, b)
+    dtdx4 = 0.25 * dtdx
+
+    rho = q[irho]
+    p = q[ip]
+    cs = jnp.sqrt(gamma * p / rho)
+    un = q[iu] if idir == 1 else q[iv]
+
+    # eigenvalues: un-c, un, un, un+c (species ride at un)
+    ev0 = un - cs
+    ev3 = un + cs
+
+    d_rho = dq[irho]
+    d_un = dq[iu] if idir == 1 else dq[iv]
+    d_ut = dq[iv] if idir == 1 else dq[iu]
+    d_p = dq[ip]
+
+    # left-eigenvector dot products l_m . dq (analytic forms)
+    a0 = -0.5 * rho / cs * d_un + 0.5 / cs ** 2 * d_p   # l(un-c) . dq
+    a1 = d_rho - d_p / cs ** 2                           # l(un)   . dq
+    a2 = d_ut                                            # transverse
+    a3 = 0.5 * rho / cs * d_un + 0.5 / cs ** 2 * d_p     # l(un+c) . dq
+
+    # beta_m = dtdx/4 (ev_ref - ev_m) (sign gate) (l_m . dq)
+    # gate = copysign(1, ev) +/- 1: note copysign(1, 0.0) == +1, so a
+    # stationary wave (ev == 0) gates fully left -- jnp.sign would not
+    def beta_pair(ev_m, asum):
+        gate_l = jnp.where(ev_m >= 0.0, 2.0, 0.0)
+        gate_r = jnp.where(ev_m >= 0.0, 0.0, 2.0)
+        bl = dtdx4 * (ev3 - ev_m) * gate_l * asum
+        br = dtdx4 * (ev0 - ev_m) * gate_r * asum
+        return bl, br
+
+    bl0, br0 = beta_pair(ev0, a0)
+    bl1, br1 = beta_pair(un, a1)
+    bl2, br2 = beta_pair(un, a2)
+    bl3, br3 = beta_pair(ev3, a3)
+
+    # reference states
+    factor_l = 0.5 * (1.0 - dtdx * jnp.maximum(ev3, 0.0))
+    factor_r = 0.5 * (1.0 + dtdx * jnp.minimum(ev0, 0.0))
+
+    q_l_win = q + factor_l[None] * dq
+    q_r_win = q - factor_r[None] * dq
+
+    # characteristic corrections: sum_k beta_k rvec[k, m]
+    # rvec rows: r(un-c)=(1, -+c/rho on un, 0, c^2), r(un)=(1,0,0,0),
+    # r(trans)=(0,..,1,..,0), r(un+c)=(1, +c/rho on un, 0, c^2)
+    corr_l = {
+        irho: bl0 + bl1 + bl3,
+        (iu if idir == 1 else iv): (cs / rho) * (bl3 - bl0),
+        (iv if idir == 1 else iu): bl2,
+        ip: cs ** 2 * (bl0 + bl3),
+    }
+    corr_r = {
+        irho: br0 + br1 + br3,
+        (iu if idir == 1 else iv): (cs / rho) * (br3 - br0),
+        (iv if idir == 1 else iu): br2,
+        ip: cs ** 2 * (br0 + br3),
+    }
+
+    for m, c in corr_l.items():
+        q_l_win = q_l_win.at[m].add(c)
+    for m, c in corr_r.items():
+        q_r_win = q_r_win.at[m].add(c)
+
+    # species characteristics: beta for ev=un with asum = dq[species]
+    for n in range(ivars.ix, ivars.ix + nspec):
+        bls, brs = beta_pair(un, dq[n])
+        q_l_win = q_l_win.at[n].add(bls)
+        q_r_win = q_r_win.at[n].add(brs)
+
+    # geometric source (spherical): only rho and p pick it up
+    dloga_w = _win(jnp.asarray(dloga), g, b)
+    rho_source = -0.5 * dt * dloga_w * rho * un
+    q_l_win = q_l_win.at[irho].add(rho_source)
+    q_r_win = q_r_win.at[irho].add(rho_source)
+    q_l_win = q_l_win.at[ip].add(rho_source * cs ** 2)
+    q_r_win = q_r_win.at[ip].add(rho_source * cs ** 2)
+
+    # scatter: q_l shifted +1 toward the interface it feeds
+    q_l = jnp.zeros_like(qv)
+    q_r = jnp.zeros_like(qv)
+    ish, jsh = (1, 0) if idir == 1 else (0, 1)
+    q_l = q_l.at[:, g.ilo - b + ish:g.ihi + 1 + b + ish,
+                 g.jlo - b + jsh:g.jhi + 1 + b + jsh].set(q_l_win)
+    q_r = q_r.at[:, g.ilo - b:g.ihi + 1 + b,
+                 g.jlo - b:g.jhi + 1 + b].set(q_r_win)
+    return q_l, q_r
+
+
+def artificial_viscosity(g, cvisc, u, v):
+    """Colella-Woodward artificial viscosity coefficients (avisco_x/y).
+
+    Vertex-centered div(U) (Cartesian or spherical, reference
+    interface.py:239-378) averaged to faces; avisco = cvisc *
+    max(-divU*L, 0).  Valid on the plain interior window (the reference
+    computes no viscosity on the domain's outermost high faces).
+    """
+    uv = ai(u, g)
+    vv = ai(v, g)
+
+    import numpy as np
+
+    if getattr(g, "coord_type", 0) == 0:
+        # vertex divergence on the buf=1 window
+        b = 1
+        ur = 0.5 * (uv.v(buf=b) + uv.jp(-1, buf=b))
+        ul = 0.5 * (uv.ip(-1, buf=b) + uv.ip_jp(-1, -1, buf=b))
+        vt = 0.5 * (vv.v(buf=b) + vv.ip(-1, buf=b))
+        vb = 0.5 * (vv.jp(-1, buf=b) + vv.ip_jp(-1, -1, buf=b))
+        divU_w = (ur - ul) / g.dx + (vt - vb) / g.dy
+    else:
+        b = 1
+        # node-centered r and theta lines over the window
+        i_sl = slice(g.ilo - b, g.ihi + 2 + b - 1)
+        j_sl = slice(g.jlo - b, g.jhi + 2 + b - 1)
+        rc = g.xl[i_sl][:, None]            # node r at i-1/2
+        rr = g.x[i_sl][:, None]             # center r of cell i
+        rl = (g.x[i_sl] - g.dx)[:, None]    # center r of cell i-1
+        sinc = np.sin(g.yl[j_sl])[None, :]
+        sint = np.sin(g.y[j_sl])[None, :]
+        sinb = np.sin(g.y[j_sl] - g.dy)[None, :]
+
+        ur = 0.5 * (uv.v(buf=b) + uv.jp(-1, buf=b))
+        ul = 0.5 * (uv.ip(-1, buf=b) + uv.ip_jp(-1, -1, buf=b))
+        ux = (ur * rr ** 2 - ul * rl ** 2) / (rc ** 2 * g.dx)
+
+        vt = 0.5 * (vv.v(buf=b) + vv.ip(-1, buf=b))
+        vb = 0.5 * (vv.jp(-1, buf=b) + vv.ip_jp(-1, -1, buf=b))
+        vy_raw = (sint * vt - sinb * vb) / (rc * jnp.where(sinc == 0.0,
+                                                           1.0, sinc) * g.dy)
+        vy = jnp.where(sinc == 0.0, 0.0, vy_raw)
+        divU_w = ux + vy
+
+    divU = jnp.zeros_like(u)
+    divU = divU.at[g.ilo - b:g.ihi + 2, g.jlo - b:g.jhi + 2].set(divU_w)
+
+    dv = ai(divU, g)
+    Lx_w = _win(jnp.asarray(g.Lx), g, 0)
+    Ly_w = _win(jnp.asarray(g.Ly), g, 0)
+
+    divU_x = 0.5 * (dv.v() + dv.jp(1))
+    divU_y = 0.5 * (dv.v() + dv.ip(1))
+
+    av_x = cvisc * jnp.maximum(-divU_x * Lx_w, 0.0)
+    av_y = cvisc * jnp.maximum(-divU_y * Ly_w, 0.0)
+
+    avisco_x = jnp.zeros_like(u)
+    avisco_y = jnp.zeros_like(u)
+    sl = (slice(g.ilo, g.ihi + 1), slice(g.jlo, g.jhi + 1))
+    return avisco_x.at[sl].set(av_x), avisco_y.at[sl].set(av_y)
