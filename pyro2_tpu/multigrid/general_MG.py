@@ -46,9 +46,19 @@ class GeneralMG2d(MG.CellCenterMG2d):
                          vis_title=vis_title)
 
         fine = self.nlevels - 1
+        g_f = self.grids[fine]
         for c in _COEFFS:
             bc_c = coeffs.BCs[c]
-            arr = fill_ghost(coeffs.get_var(c), self.grids[fine], bc_c)
+            c_in = jnp.asarray(coeffs.get_var(c))
+            if c_in.shape != (g_f.qx, g_f.qy):
+                # accept coefficients from a grid with a different ghost
+                # count: only the valid region is used
+                src_g = coeffs.grid
+                valid = c_in[src_g.ilo:src_g.ihi + 1,
+                             src_g.jlo:src_g.jhi + 1]
+                c_in = g_f.scratch_array().at[
+                    g_f.ilo:g_f.ihi + 1, g_f.jlo:g_f.jhi + 1].set(valid)
+            arr = fill_ghost(c_in, g_f, bc_c)
             self.aux[c][fine] = arr
             for n in range(self.nlevels - 2, -1, -1):
                 cc = restrict_array(self.aux[c][n + 1], self.grids[n + 1],

@@ -40,14 +40,25 @@ class VarCoeffCCMG2d(MG.CellCenterMG2d):
                          true_function=true_function, vis=vis,
                          vis_title=vis_title)
 
-        # install the fine-level coefficients and restrict down once
+        # install the fine-level coefficients and restrict down once.
+        # coeffs may come from a grid with a different ghost count (the
+        # solvers use ng=4); only the valid region is used.
         fine = self.nlevels - 1
         g_f = self.grids[fine]
-        c = jnp.asarray(coeffs)
-        if c.shape != (g_f.qx, g_f.qy):
-            raise IndexError(
-                "coefficient array not the same size as multigrid problem")
-        c = fill_ghost(c, g_f, coeffs_bc)
+        c_in = jnp.asarray(coeffs)
+        if c_in.shape != (g_f.qx, g_f.qy):
+            src_ngx = (c_in.shape[0] - nx) // 2
+            src_ngy = (c_in.shape[1] - ny) // 2
+            if (c_in.shape[0] - 2 * src_ngx != nx or
+                    c_in.shape[1] - 2 * src_ngy != ny or src_ngx < 0):
+                raise IndexError(
+                    "coefficient array not the same size as multigrid "
+                    "problem")
+            valid = c_in[src_ngx:src_ngx + nx, src_ngy:src_ngy + ny]
+            c_in = g_f.scratch_array()
+            c_in = c_in.at[g_f.ilo:g_f.ihi + 1,
+                           g_f.jlo:g_f.jhi + 1].set(valid)
+        c = fill_ghost(c_in, g_f, coeffs_bc)
         self.aux["coeffs"][fine] = c
 
         self.edge_coeffs.insert(0, ec.EdgeCoeffs(g_f, c))

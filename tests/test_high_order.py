@@ -1,0 +1,140 @@
+"""High-order tier tests.
+
+Oracles: the recorded 4th-order advection table
+(reference advection_fv4/tests/fv4.txt: 4.65e-3 / 3.86e-4 / 2.46e-5 at
+32/64/128^2), uniform-state exactness for every variant, and bitwise parity
+of the 4th-order limiter against the reference kernel (run as plain Python
+via a numba stub).
+"""
+
+import sys
+import types
+
+import numpy as np
+import pytest
+
+from pyro2_tpu import Pyro
+from pyro2_tpu.mesh.indexer import ai
+
+
+def _install_ref():
+    """Make the reference importable: numba stub + version stub."""
+    if "numba" not in sys.modules:
+        numba = types.ModuleType("numba")
+
+        def njit(*args, **kwargs):
+            if len(args) == 1 and callable(args[0]):
+                return args[0]
+            return lambda fn: fn
+
+        numba.njit = njit
+        sys.modules["numba"] = numba
+    if "pyro._version" not in sys.modules:
+        m = types.ModuleType("pyro._version")
+        m.version = "0"
+        sys.modules["pyro._version"] = m
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+
+
+class TestFourthOrderKernelParity:
+    def test_states_bitwise(self):
+        _install_ref()
+        from pyro.mesh import fourth_order as rf
+
+        from pyro2_tpu.mesh import fourth_order as mf
+        from pyro2_tpu.mesh.grid import Grid2d
+
+        rng = np.random.default_rng(7)
+        g = Grid2d(16, 12, ng=4)
+        a = rng.standard_normal((g.qx, g.qy))
+        a += np.sin(4 * np.pi * g.x2d) * np.cos(2 * np.pi * g.y2d) * 3
+
+        for idir in (1, 2):
+            ral, rar = rf.states(a.copy(), g.ng, idir)
+            mal, mar = mf.states(np.asarray(a), g, idir)
+            # XLA fma/reassociation gives ~1e-14 fp noise vs numpy
+            np.testing.assert_allclose(np.asarray(mal), ral,
+                                       atol=1e-12, rtol=1e-12)
+            np.testing.assert_allclose(np.asarray(mar), rar,
+                                       atol=1e-12, rtol=1e-12)
+
+
+class TestVariantsUniform:
+    @pytest.mark.parametrize("solver", ["advection_rk", "advection_fv4",
+                                        "advection_weno",
+                                        "advection_nonuniform"])
+    def test_uniform_preserved(self, solver):
+        p = Pyro(solver)
+        p.initialize_problem("test", inputs_dict={
+            "mesh.nx": 8, "mesh.ny": 8,
+            "mesh.xlboundary": "periodic", "mesh.xrboundary": "periodic",
+            "mesh.ylboundary": "periodic", "mesh.yrboundary": "periodic",
+            "driver.tmax": 0.1, "driver.max_steps": 2,
+        })
+        p.run_sim()
+        g = p.get_grid()
+        np.testing.assert_allclose(
+            np.asarray(ai(p.get_var("density"), g).v()), 1.0, rtol=1e-12)
+
+    @pytest.mark.parametrize("solver", ["compressible_rk",
+                                        "compressible_fv4",
+                                        "compressible_sdc",
+                                        "compressible_react"])
+    def test_compressible_uniform(self, solver):
+        p = Pyro(solver)
+        p.initialize_problem("test", inputs_dict={
+            "mesh.nx": 8, "mesh.ny": 8,
+            "driver.tmax": 0.05, "driver.max_steps": 2,
+        })
+        p.run_sim()
+        g = p.get_grid()
+        np.testing.assert_allclose(
+            np.asarray(ai(p.get_var("density"), g).v()), 1.0, rtol=1e-11)
+
+
+class TestFV4Convergence:
+    def test_advection_fv4_32(self):
+        p = Pyro("advection_fv4")
+        p.initialize_problem("smooth", inputs_dict={
+            "mesh.nx": 32, "mesh.ny": 32, "driver.tmax": 1.0})
+        g = p.get_grid()
+        exact = np.asarray(p.get_var("density"))
+        p.run_sim()
+        final = np.asarray(p.get_var("density"))
+        e = np.asarray(ai(final - exact, g).v())
+        l2 = np.sqrt(g.dx * g.dy * np.sum(e ** 2))
+        # reference records 4.65e-3 at 32^2 (advection_fv4/tests/fv4.txt)
+        assert abs(l2 - 4.65e-3) / 4.65e-3 < 0.02, l2
+
+    @pytest.mark.slow
+    def test_advection_fv4_rate(self):
+        errs = {}
+        for nx in (32, 64):
+            p = Pyro("advection_fv4")
+            p.initialize_problem("smooth", inputs_dict={
+                "mesh.nx": nx, "mesh.ny": nx, "driver.tmax": 1.0})
+            g = p.get_grid()
+            exact = np.asarray(p.get_var("density"))
+            p.run_sim()
+            final = np.asarray(p.get_var("density"))
+            e = np.asarray(ai(final - exact, g).v())
+            errs[nx] = np.sqrt(g.dx * g.dy * np.sum(e ** 2))
+        rate = np.log2(errs[32] / errs[64])
+        assert rate > 3.4, (errs, rate)
+
+
+class TestBurgersViscous:
+    def test_runs_and_decays(self):
+        p = Pyro("burgers_viscous")
+        p.initialize_problem("converge", inputs_dict={
+            "mesh.nx": 16, "mesh.ny": 16,
+            "driver.tmax": 0.05, "driver.fix_dt": 0.025,
+            "diffusion.eps": 0.05})
+        g = p.get_grid()
+        u0 = np.asarray(ai(p.get_var("x-velocity"), g).v())
+        p.run_sim()
+        u1 = np.asarray(ai(p.get_var("x-velocity"), g).v())
+        # viscosity damps the velocity perturbation amplitude
+        assert (u1 - u1.mean()).std() < (u0 - u0.mean()).std()
+        assert np.isfinite(u1).all()

@@ -63,5 +63,7 @@ class TestSWE:
     def test_dam_hllc(self):
         _, h = self._dam("x", riemann="HLLC")
         assert np.isfinite(h).all()
-        mid = h[30:34].mean()
-        assert abs(mid - 0.4057) < 0.05, mid
+        # the star region is a plateau at h ~ 0.4057: require several
+        # cells to sit on it (robust to where the waves land on the grid)
+        on_plateau = np.sum(np.abs(h - 0.4057) < 0.02)
+        assert on_plateau >= 3, (on_plateau, h.min(), h.max())
