@@ -1,0 +1,12 @@
+"""Multi-chip execution: block-partitioned grids over a device mesh.
+
+The reference has no intra-simulation parallelism (SURVEY.md section 2.9);
+this layer is new.  Grids block-partition over a `jax.sharding.Mesh`
+("x", "y"); ghost-cell halos are exchanged with `lax.ppermute` over ICI,
+physical BCs apply only on boundary-owning blocks, and global reductions
+(dt, norms) use `lax.pmin`/`psum`.
+"""
+
+from pyro2_tpu.parallel.mesh_comm import (factor_devices, halo_exchange,
+                                          make_mesh)
+from pyro2_tpu.parallel.sharded import make_sharded_compressible_step

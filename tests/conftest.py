@@ -1,12 +1,17 @@
 """Test configuration: run JAX on CPU with x64 (parity with the float64
-reference) and 8 virtual devices for multi-chip sharding tests."""
+reference) and 8 virtual devices for multi-chip sharding tests.
+
+Note: this environment's site hook forces jax_platforms="axon,cpu" (the
+real TPU via a tunnel), overriding the JAX_PLATFORMS env var -- so the
+platform must be forced through jax.config AFTER importing jax.
+"""
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
                            " --xla_force_host_platform_device_count=8")
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
