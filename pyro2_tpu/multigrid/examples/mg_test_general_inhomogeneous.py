@@ -1,0 +1,66 @@
+#!/usr/bin/env python3
+"""General-form elliptic solve with inhomogeneous BCs.
+
+alpha phi + div(beta grad phi) + gamma.grad(phi) = f with alpha = 10,
+beta = xy + 1, gamma = (1, 1); exact phi = cos(pi x/2) cos(pi y/2)
+(reference: pyro/multigrid/examples/mg_test_general_inhomogeneous.py)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+import pyro2_tpu.mesh.boundary as bnd
+from pyro2_tpu.mesh import patch
+from pyro2_tpu.mesh.grid import Grid2d
+from pyro2_tpu.mesh.indexer import ai
+from pyro2_tpu.multigrid.general_MG import GeneralMG2d
+
+
+def true(x, y):
+    return np.cos(np.pi * x / 2.0) * np.cos(np.pi * y / 2.0)
+
+
+def f(x, y):
+    return (-0.5 * np.pi * (x + 1.0) * np.sin(np.pi * y / 2.0) *
+            np.cos(np.pi * x / 2.0) -
+            0.5 * np.pi * (y + 1.0) * np.sin(np.pi * x / 2.0) *
+            np.cos(np.pi * y / 2.0) +
+            (-np.pi ** 2 * (x * y + 1.0) / 2.0 + 10.0) *
+            np.cos(np.pi * x / 2.0) * np.cos(np.pi * y / 2.0))
+
+
+def test_general_poisson_inhomogeneous(N, *, verbose=0, rtol=1.e-11):
+    """Solve at resolution N; returns the L2 error vs the true solution."""
+    g = Grid2d(N, N, ng=1)
+    d = patch.CellCenterData2d(g)
+    bc_c = bnd.BC(xlb="neumann", xrb="neumann",
+                  ylb="neumann", yrb="neumann")
+    for name in ["alpha", "beta", "gamma_x", "gamma_y"]:
+        d.register_var(name, bc_c)
+    d.create()
+    d.set_var("alpha", jnp.full((g.qx, g.qy), 10.0))
+    d.set_var("beta", jnp.asarray(g.x2d * g.y2d + 1.0))
+    d.set_var("gamma_x", jnp.ones((g.qx, g.qy)))
+    d.set_var("gamma_y", jnp.ones((g.qx, g.qy)))
+
+    a = GeneralMG2d(N, N,
+                    xl_BC_type="dirichlet", yl_BC_type="dirichlet",
+                    xr_BC_type="dirichlet", yr_BC_type="dirichlet",
+                    xl_BC=lambda y: np.cos(np.pi * y / 2.0),
+                    yl_BC=lambda x: np.cos(np.pi * x / 2.0),
+                    coeffs=d, verbose=verbose)
+    a.init_zeros()
+    a.init_RHS(jnp.asarray(f(a.x2d, a.y2d)))
+    a.solve(rtol=rtol)
+
+    v = a.get_solution()
+    e = v - jnp.asarray(true(a.x2d, a.y2d))
+    enorm = float(np.sqrt(a.dx * a.dy *
+                          np.sum(np.asarray(ai(e, a.soln_grid).v()) ** 2)))
+    print(f"N = {N}: L2 error from true solution = {enorm:g} "
+          f"(cycles = {a.num_cycles})")
+    return enorm
+
+
+if __name__ == "__main__":
+    for n in (16, 32, 64, 128):
+        test_general_poisson_inhomogeneous(n)

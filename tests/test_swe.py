@@ -51,9 +51,9 @@ class TestSWE:
         assert p.sim.n == 81
         assert h.min() == pytest.approx(0.125)
         assert h.max() == pytest.approx(1.0)
-        # star region height: analytic value ~0.4057 for this dam break
+        # star region height: analytic value ~0.42876 for this dam break
         mid = h[60:68].mean()
-        assert abs(mid - 0.4057) < 0.05, mid
+        assert abs(mid - 0.42876) < 0.05, mid
 
     def test_dam_xy_symmetry(self):
         _, hx = self._dam("x")
@@ -63,7 +63,7 @@ class TestSWE:
     def test_dam_hllc(self):
         _, h = self._dam("x", riemann="HLLC")
         assert np.isfinite(h).all()
-        # the star region is a plateau at h ~ 0.4057: require several
+        # the star region is a plateau at h ~ 0.42876: require several
         # cells to sit on it (robust to where the waves land on the grid)
-        on_plateau = np.sum(np.abs(h - 0.4057) < 0.02)
+        on_plateau = np.sum(np.abs(h - 0.42876) < 0.02)
         assert on_plateau >= 3, (on_plateau, h.min(), h.max())
