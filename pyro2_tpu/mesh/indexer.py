@@ -15,7 +15,114 @@ cells get identical values.
 import jax
 import jax.numpy as jnp
 
-__all__ = ["ai", "aifc", "fill_ghost", "fill_ghost_fc"]
+__all__ = ["ai", "aifc", "aic", "fill_ghost", "fill_ghost_fc", "embed"]
+
+
+class aic:
+    """A constant-geometry stand-in for `ai`: every view is the same scalar.
+
+    Cartesian grids have uniform Lx/Ly/Ax/Ay/V, so windowed reads of those
+    arrays are just a broadcast scalar.  Using `aic` instead of `ai` keeps
+    the stencil expressions verbatim while avoiding materialized constant
+    arrays -- bitwise identical results, and it lets the fused Pallas kernel
+    trace without capturing array constants.
+    """
+
+    __slots__ = ("c",)
+
+    def __init__(self, c):
+        self.c = jnp.asarray(c)
+
+    def v(self, buf=0, s=1):
+        return self.c
+
+    def ip(self, shift, buf=0, s=1):
+        return self.c
+
+    def jp(self, shift, buf=0, s=1):
+        return self.c
+
+    def ip_jp(self, ishift, jshift, buf=0, s=1):
+        return self.c
+
+
+# ---------------------------------------------------------------------------
+# full-frame mode
+#
+# Inside a Pallas TPU kernel, Mosaic cannot lower the pad/scatter ops that
+# windowed views produce, but rolls and iota masks lower fine.  Under
+# `with full_frame():` every `ai` view returns the FULL padded array
+# (shifts become jnp.roll) and `embed` becomes roll + window mask -- all
+# shapes stay (..., qx, qy), and every masked intermediate matches the
+# windowed computation exactly, so interior results are identical.
+# ---------------------------------------------------------------------------
+
+_FULL_FRAME = False
+
+
+def is_full_frame():
+    return _FULL_FRAME
+
+
+class _FullFrameCtx:
+    def __enter__(self):
+        global _FULL_FRAME
+        self._prev = _FULL_FRAME
+        _FULL_FRAME = True
+        return self
+
+    def __exit__(self, *exc):
+        global _FULL_FRAME
+        _FULL_FRAME = self._prev
+        return False
+
+
+def full_frame():
+    """Context manager enabling full-frame (roll/mask) stencil views."""
+    return _FullFrameCtx()
+
+
+def _roll2(a, sx, sy):
+    """Roll the trailing (x, y) dims; no-op for zero shifts."""
+    shifts, axes = [], []
+    if sx:
+        shifts.append(sx)
+        axes.append(-2)
+    if sy:
+        shifts.append(sy)
+        axes.append(-1)
+    if not shifts:
+        return a
+    return jnp.roll(a, tuple(shifts), axis=tuple(axes))
+
+
+def embed(vals, g, buf=0, ishift=0, jshift=0, *, like=None):
+    """Embed a buf-windowed block into a zero padded array as ONE lax.pad.
+
+    Equivalent to zeros_like(like).at[window].set(vals) but compiles to a
+    single pad op (XLA fuses it into consumers), which matters in the hot
+    solver paths.  `buf` may be an int or a (bxlo,bxhi,bylo,byhi) spec.
+
+    In full-frame mode `vals` is already full-sized (cell i holds cell i's
+    value); the embed becomes a shift-roll plus a window mask, which is
+    exactly the windowed-placement semantics.
+    """
+    bxlo, bxhi, bylo, byhi = _buf_split(buf)
+    lo_x = g.ilo - bxlo + ishift
+    lo_y = g.jlo - bylo + jshift
+    hi_x_last = g.ihi + bxhi + ishift      # last index inside the window
+    hi_y_last = g.jhi + byhi + jshift
+    if _FULL_FRAME:
+        out = _roll2(vals, ishift, jshift)
+        xi = jax.lax.broadcasted_iota(jnp.int32, (g.qx, g.qy), 0)
+        yi = jax.lax.broadcasted_iota(jnp.int32, (g.qx, g.qy), 1)
+        m = ((xi >= lo_x) & (xi <= hi_x_last) &
+             (yi >= lo_y) & (yi <= hi_y_last))
+        return jnp.where(m, out, jnp.asarray(0.0, vals.dtype))
+    pads = [(0, 0, 0)] * (vals.ndim - 2) + \
+        [(lo_x, g.qx - hi_x_last - 1, 0),
+         (lo_y, g.qy - hi_y_last - 1, 0)]
+    return jax.lax.pad(vals, jnp.asarray(0.0, vals.dtype), pads)
 
 
 def _buf_split(b):
@@ -46,6 +153,11 @@ class ai:
 
     def _win(self, ishift, jshift, buf, s):
         g = self.g
+        if _FULL_FRAME:
+            if s != 1:
+                raise NotImplementedError(
+                    "strided views unsupported in full-frame mode")
+            return _roll2(self.a, -ishift, -jshift)
         bxlo, bxhi, bylo, byhi = _buf_split(buf)
         isl = slice(g.ilo - bxlo + ishift, g.ihi + 1 + bxhi + ishift, s)
         jsl = slice(g.jlo - bylo + jshift, g.jhi + 1 + byhi + jshift, s)

@@ -10,7 +10,7 @@ semantics so downstream windowed reads agree exactly.
 
 import jax.numpy as jnp
 
-from pyro2_tpu.mesh.indexer import ai
+from pyro2_tpu.mesh.indexer import ai, embed
 
 __all__ = ["limit", "nolimit", "limit2", "limit4", "well_balance",
            "flatten", "flatten_multid", "weno", "weno_upwind"]
@@ -18,9 +18,8 @@ __all__ = ["limit", "nolimit", "limit2", "limit4", "well_balance",
 
 def _scatter(vals, g, buf, like):
     """Place a buf-windowed block back into a zeroed full padded array."""
-    out = jnp.zeros_like(like)
-    return out.at[..., g.ilo - buf:g.ihi + 1 + buf,
-                  g.jlo - buf:g.jhi + 1 + buf].set(vals)
+    del like
+    return embed(vals, g, buf)
 
 
 def _mc(dc, dl, dr):

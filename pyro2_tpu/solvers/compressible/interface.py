@@ -43,7 +43,11 @@ def states(idir, g, dxa, dloga, dt, ivars, gamma, qv, dqv):
     q = _win(qv, g, b)          # (nq, win_x, win_y)
     dq = _win(dqv, g, b)
 
-    dtdx = dt / _win(jnp.asarray(dxa), g, b)
+    # dxa may be a scalar (uniform Cartesian spacing) or a per-cell array
+    if jnp.ndim(dxa) == 0:
+        dtdx = dt / dxa
+    else:
+        dtdx = dt / _win(jnp.asarray(dxa), g, b)
     dtdx4 = 0.25 * dtdx
 
     rho = q[irho]
@@ -91,46 +95,44 @@ def states(idir, g, dxa, dloga, dt, ivars, gamma, qv, dqv):
     # characteristic corrections: sum_k beta_k rvec[k, m]
     # rvec rows: r(un-c)=(1, -+c/rho on un, 0, c^2), r(un)=(1,0,0,0),
     # r(trans)=(0,..,1,..,0), r(un+c)=(1, +c/rho on un, 0, c^2)
-    corr_l = {
-        irho: bl0 + bl1 + bl3,
-        (iu if idir == 1 else iv): (cs / rho) * (bl3 - bl0),
-        (iv if idir == 1 else iu): bl2,
-        ip: cs ** 2 * (bl0 + bl3),
-    }
-    corr_r = {
-        irho: br0 + br1 + br3,
-        (iu if idir == 1 else iv): (cs / rho) * (br3 - br0),
-        (iv if idir == 1 else iu): br2,
-        ip: cs ** 2 * (br0 + br3),
-    }
+    # built as one stacked add (scatter-free, so it lowers inside Pallas);
+    # per-variable arithmetic is identical to individual .at[m].add calls
+    iun = iu if idir == 1 else iv
+    iut = iv if idir == 1 else iu
 
-    for m, c in corr_l.items():
-        q_l_win = q_l_win.at[m].add(c)
-    for m, c in corr_r.items():
-        q_r_win = q_r_win.at[m].add(c)
+    corr_l = [None] * nq
+    corr_r = [None] * nq
+    corr_l[irho] = bl0 + bl1 + bl3
+    corr_r[irho] = br0 + br1 + br3
+    corr_l[iun] = (cs / rho) * (bl3 - bl0)
+    corr_r[iun] = (cs / rho) * (br3 - br0)
+    corr_l[iut] = bl2
+    corr_r[iut] = br2
+    corr_l[ip] = cs ** 2 * (bl0 + bl3)
+    corr_r[ip] = cs ** 2 * (br0 + br3)
 
     # species characteristics: beta for ev=un with asum = dq[species]
     for n in range(ivars.ix, ivars.ix + nspec):
-        bls, brs = beta_pair(un, dq[n])
-        q_l_win = q_l_win.at[n].add(bls)
-        q_r_win = q_r_win.at[n].add(brs)
+        corr_l[n], corr_r[n] = beta_pair(un, dq[n])
 
-    # geometric source (spherical): only rho and p pick it up
-    dloga_w = _win(jnp.asarray(dloga), g, b)
-    rho_source = -0.5 * dt * dloga_w * rho * un
-    q_l_win = q_l_win.at[irho].add(rho_source)
-    q_r_win = q_r_win.at[irho].add(rho_source)
-    q_l_win = q_l_win.at[ip].add(rho_source * cs ** 2)
-    q_r_win = q_r_win.at[ip].add(rho_source * cs ** 2)
+    q_l_win = q_l_win + jnp.stack(corr_l)
+    q_r_win = q_r_win + jnp.stack(corr_r)
+
+    # geometric source (spherical): only rho and p pick it up; a scalar 0
+    # (Cartesian fast path) skips it entirely
+    if jnp.ndim(dloga) != 0:
+        dloga_w = _win(jnp.asarray(dloga), g, b)
+        rho_source = -0.5 * dt * dloga_w * rho * un
+        q_l_win = q_l_win.at[irho].add(rho_source)
+        q_r_win = q_r_win.at[irho].add(rho_source)
+        q_l_win = q_l_win.at[ip].add(rho_source * cs ** 2)
+        q_r_win = q_r_win.at[ip].add(rho_source * cs ** 2)
 
     # scatter: q_l shifted +1 toward the interface it feeds
-    q_l = jnp.zeros_like(qv)
-    q_r = jnp.zeros_like(qv)
+    from pyro2_tpu.mesh.indexer import embed
     ish, jsh = (1, 0) if idir == 1 else (0, 1)
-    q_l = q_l.at[:, g.ilo - b + ish:g.ihi + 1 + b + ish,
-                 g.jlo - b + jsh:g.jhi + 1 + b + jsh].set(q_l_win)
-    q_r = q_r.at[:, g.ilo - b:g.ihi + 1 + b,
-                 g.jlo - b:g.jhi + 1 + b].set(q_r_win)
+    q_l = embed(q_l_win, g, b, ish, jsh)
+    q_r = embed(q_r_win, g, b)
     return q_l, q_r
 
 
@@ -178,12 +180,17 @@ def artificial_viscosity(g, cvisc, u, v):
         vy = jnp.where(sinc == 0.0, 0.0, vy_raw)
         divU_w = ux + vy
 
-    divU = jnp.zeros_like(u)
-    divU = divU.at[g.ilo - b:g.ihi + 2, g.jlo - b:g.jhi + 2].set(divU_w)
+    from pyro2_tpu.mesh.indexer import embed
+    divU = embed(divU_w, g, b)
 
     dv = ai(divU, g)
-    Lx_w = _win(jnp.asarray(g.Lx), g, 0)
-    Ly_w = _win(jnp.asarray(g.Ly), g, 0)
+    if getattr(g, "coord_type", 0) == 0:
+        # uniform Cartesian cell sides: scalars, bitwise identical
+        Lx_w = jnp.asarray(g.dx)
+        Ly_w = jnp.asarray(g.dy)
+    else:
+        Lx_w = _win(jnp.asarray(g.Lx), g, 0)
+        Ly_w = _win(jnp.asarray(g.Ly), g, 0)
 
     divU_x = 0.5 * (dv.v() + dv.jp(1))
     divU_y = 0.5 * (dv.v() + dv.ip(1))
@@ -191,7 +198,4 @@ def artificial_viscosity(g, cvisc, u, v):
     av_x = cvisc * jnp.maximum(-divU_x * Lx_w, 0.0)
     av_y = cvisc * jnp.maximum(-divU_y * Ly_w, 0.0)
 
-    avisco_x = jnp.zeros_like(u)
-    avisco_y = jnp.zeros_like(u)
-    sl = (slice(g.ilo, g.ihi + 1), slice(g.jlo, g.jhi + 1))
-    return avisco_x.at[sl].set(av_x), avisco_y.at[sl].set(av_y)
+    return embed(av_x, g, 0), embed(av_y, g, 0)

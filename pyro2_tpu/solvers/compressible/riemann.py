@@ -26,11 +26,19 @@ SMALLP = 1.e-10
 
 
 def _wslice(g, b=1):
+    from pyro2_tpu.mesh import indexer
+    if indexer.is_full_frame():
+        return (slice(None), slice(None))
     return (slice(g.ilo - b, g.ihi + 2), slice(g.jlo - b, g.jhi + 2))
 
 
 def _solid_mask(g, idir, lower_solid, upper_solid, shape):
-    """1 where the interface normal velocity must be zeroed (solid walls)."""
+    """1 where the interface normal velocity must be zeroed (solid walls).
+
+    Returns None when both walls are open (no clamp needed; also avoids a
+    captured constant mask inside Pallas kernels)."""
+    if lower_solid == 0 and upper_solid == 0:
+        return None
     import numpy as np
     i_idx = np.arange(g.ilo - 1, g.ihi + 2)
     j_idx = np.arange(g.jlo - 1, g.jhi + 2)
@@ -135,7 +143,8 @@ def _cgf_core(idir, g, ivars, lower_solid, upper_solid, gamma,
 
     # solid-wall clamp on the normal velocity
     solid = _solid_mask(g, idir, lower_solid, upper_solid, rho_state.shape)
-    un_state = jnp.where(solid, 0.0, un_state)
+    if solid is not None:
+        un_state = jnp.where(solid, 0.0, un_state)
 
     return rho_state, un_state, ut_state, p_state, rhoe_state, ustar
 
@@ -156,17 +165,16 @@ def riemann_cgf(idir, g, ivars, lower_solid, upper_solid, gamma, U_l, U_r):
         idir, g, ivars, lower_solid, upper_solid, gamma,
         rho_l, un_l, ut_l, rhoe_l, p_l, rho_r, un_r, ut_r, rhoe_r, p_r)
 
-    U_out = jnp.zeros_like(U_l)
-    out_w = jnp.zeros_like(Ul)
-    out_w = out_w.at[ivars.idens].set(rho_s)
+    # build the interface state as one stack (scatter-free for Pallas)
+    rows = [None] * ivars.nvar
+    rows[ivars.idens] = rho_s
     if idir == 1:
-        out_w = out_w.at[ivars.ixmom].set(rho_s * un_s)
-        out_w = out_w.at[ivars.iymom].set(rho_s * ut_s)
+        rows[ivars.ixmom] = rho_s * un_s
+        rows[ivars.iymom] = rho_s * ut_s
     else:
-        out_w = out_w.at[ivars.ixmom].set(rho_s * ut_s)
-        out_w = out_w.at[ivars.iymom].set(rho_s * un_s)
-    out_w = out_w.at[ivars.iener].set(
-        rhoe_s + 0.5 * rho_s * (un_s ** 2 + ut_s ** 2))
+        rows[ivars.ixmom] = rho_s * ut_s
+        rows[ivars.iymom] = rho_s * un_s
+    rows[ivars.iener] = rhoe_s + 0.5 * rho_s * (un_s ** 2 + ut_s ** 2)
 
     # species ride with the contact
     for n in range(ivars.irhox, ivars.irhox + ivars.naux):
@@ -174,9 +182,10 @@ def riemann_cgf(idir, g, ivars, lower_solid, upper_solid, gamma, U_l, U_r):
         xn_r = Ur[n] / Ur[ivars.idens]
         xn = jnp.where(ustar > 0.0, xn_l,
                        jnp.where(ustar < 0.0, xn_r, 0.5 * (xn_l + xn_r)))
-        out_w = out_w.at[n].set(xn * rho_s)
+        rows[n] = xn * rho_s
 
-    return U_out.at[(slice(None),) + w].set(out_w)
+    from pyro2_tpu.mesh.indexer import embed
+    return embed(jnp.stack(rows), g, 1)
 
 
 def riemann_prim(idir, g, ivars, lower_solid, upper_solid, gamma, q_l, q_r):
@@ -203,24 +212,23 @@ def riemann_prim(idir, g, ivars, lower_solid, upper_solid, gamma, q_l, q_r):
         idir, g, ivars, lower_solid, upper_solid, gamma,
         rho_l, un_l, ut_l, rhoe_l, p_l, rho_r, un_r, ut_r, rhoe_r, p_r)
 
-    q_out = jnp.zeros_like(q_l)
-    out_w = jnp.zeros_like(ql)
-    out_w = out_w.at[ivars.irho].set(rho_s)
+    rows = [None] * ivars.nq
+    rows[ivars.irho] = rho_s
     if idir == 1:
-        out_w = out_w.at[ivars.iu].set(un_s)
-        out_w = out_w.at[ivars.iv].set(ut_s)
+        rows[ivars.iu] = un_s
+        rows[ivars.iv] = ut_s
     else:
-        out_w = out_w.at[ivars.iu].set(ut_s)
-        out_w = out_w.at[ivars.iv].set(un_s)
-    out_w = out_w.at[ivars.ip].set(p_s)
+        rows[ivars.iu] = ut_s
+        rows[ivars.iv] = un_s
+    rows[ivars.ip] = p_s
 
     for n in range(ivars.ix, ivars.ix + ivars.naux):
-        xn = jnp.where(ustar > 0.0, ql[n],
-                       jnp.where(ustar < 0.0, qr[n],
-                                 0.5 * (ql[n] + qr[n])))
-        out_w = out_w.at[n].set(xn)
+        rows[n] = jnp.where(ustar > 0.0, ql[n],
+                            jnp.where(ustar < 0.0, qr[n],
+                                      0.5 * (ql[n] + qr[n])))
 
-    return q_out.at[(slice(None),) + w].set(out_w)
+    from pyro2_tpu.mesh.indexer import embed
+    return embed(jnp.stack(rows), g, 1)
 
 
 def estimate_wave_speed(rho_l, u_l, p_l, c_l, rho_r, u_r, p_r, c_r, gamma):
@@ -295,20 +303,20 @@ def _consFlux_win(idir, coord_type, gamma, ivars, U):
                   0.0)
     p = (U[ivars.iener] - 0.5 * rho * (u * u + v * v)) * (gamma - 1.0)
 
-    F = jnp.zeros_like(U)
     vel = u if idir == 1 else v
-    F = F.at[ivars.idens].set(rho * vel)
-    F = F.at[ivars.ixmom].set(U[ivars.ixmom] * vel)
-    F = F.at[ivars.iymom].set(U[ivars.iymom] * vel)
+    rows = [None] * ivars.nvar
+    rows[ivars.idens] = rho * vel
+    rows[ivars.ixmom] = U[ivars.ixmom] * vel
+    rows[ivars.iymom] = U[ivars.iymom] * vel
     if coord_type == 0:
         if idir == 1:
-            F = F.at[ivars.ixmom].add(p)
+            rows[ivars.ixmom] = rows[ivars.ixmom] + p
         else:
-            F = F.at[ivars.iymom].add(p)
-    F = F.at[ivars.iener].set((U[ivars.iener] + p) * vel)
+            rows[ivars.iymom] = rows[ivars.iymom] + p
+    rows[ivars.iener] = (U[ivars.iener] + p) * vel
     for n in range(ivars.irhox, ivars.irhox + ivars.naux):
-        F = F.at[n].set(U[n] * vel)
-    return F
+        rows[n] = U[n] * vel
+    return jnp.stack(rows)
 
 
 def consFlux(idir, coord_type, gamma, ivars, U_state):
@@ -355,20 +363,20 @@ def riemann_hllc(idir, g, ivars, lower_solid, upper_solid, gamma, U_l, U_r):
     def star_state(U, rho, un, ut, p, S, S_c):
         """The HLLC star-region conserved state for one side."""
         HLLCfactor = rho * (S - un) / (S - S_c)
-        Us = jnp.zeros_like(U)
-        Us = Us.at[ivars.idens].set(HLLCfactor)
+        rows = [None] * ivars.nvar
+        rows[ivars.idens] = HLLCfactor
         if idir == 1:
-            Us = Us.at[ivars.ixmom].set(HLLCfactor * S_c)
-            Us = Us.at[ivars.iymom].set(HLLCfactor * ut)
+            rows[ivars.ixmom] = HLLCfactor * S_c
+            rows[ivars.iymom] = HLLCfactor * ut
         else:
-            Us = Us.at[ivars.ixmom].set(HLLCfactor * ut)
-            Us = Us.at[ivars.iymom].set(HLLCfactor * S_c)
-        Us = Us.at[ivars.iener].set(
-            HLLCfactor * (U[ivars.iener] / rho +
-                          (S_c - un) * (S_c + p / (rho * (S - un)))))
+            rows[ivars.ixmom] = HLLCfactor * ut
+            rows[ivars.iymom] = HLLCfactor * S_c
+        rows[ivars.iener] = HLLCfactor * (
+            U[ivars.iener] / rho +
+            (S_c - un) * (S_c + p / (rho * (S - un))))
         for n in range(ivars.irhox, ivars.irhox + ivars.naux):
-            Us = Us.at[n].set(HLLCfactor * U[n] / rho)
-        return Us
+            rows[n] = HLLCfactor * U[n] / rho
+        return jnp.stack(rows)
 
     Ustar_r = star_state(Ur, rho_r, un_r, ut_r, p_r, S_r, S_c)
     Ustar_l = star_state(Ul, rho_l, un_l, ut_l, p_l, S_l, S_c)
@@ -384,8 +392,8 @@ def riemann_hllc(idir, g, ivars, lower_solid, upper_solid, gamma, U_l, U_r):
                               jnp.where((Sl_b < 0.0) & (Sc_b > 0.0),
                                         F_star_l, F_l)))
 
-    F = jnp.zeros_like(U_l)
-    return F.at[(slice(None),) + w].set(F_w)
+    from pyro2_tpu.mesh.indexer import embed
+    return embed(F_w, g, 1)
 
 
 def riemann_hllc_lowspeed(idir, g, ivars, lower_solid, upper_solid,
@@ -420,9 +428,10 @@ def riemann_hllc_lowspeed(idir, g, ivars, lower_solid, upper_solid,
     # D* controls where the star pressure enters the flux
     def star_flux(U, F, S):
         num = S_c[None] * (S[None] * U - F)
-        num = num.at[iun].add(S * pstar_lr)
-        num = num.at[ivars.iener].add(S * pstar_lr * S_c)
-        return num / (S - S_c)[None]
+        rows = list(num)
+        rows[iun] = rows[iun] + S * pstar_lr
+        rows[ivars.iener] = rows[ivars.iener] + S * pstar_lr * S_c
+        return jnp.stack(rows) / (S - S_c)[None]
 
     F_star_r = star_flux(Ur, F_r, S_r)
     F_star_l = star_flux(Ul, F_l, S_l)
@@ -435,8 +444,8 @@ def riemann_hllc_lowspeed(idir, g, ivars, lower_solid, upper_solid,
                               jnp.where((Sl_b < 0.0) & (Sc_b > 0.0),
                                         F_star_l, F_l)))
 
-    F = jnp.zeros_like(U_l)
-    return F.at[(slice(None),) + w].set(F_w)
+    from pyro2_tpu.mesh.indexer import embed
+    return embed(F_w, g, 1)
 
 
 def riemann_flux(idir, U_l, U_r, my_data, rp, ivars,

@@ -68,30 +68,30 @@ def cons_to_prim(U, gamma, ivars, myg):
         assert e_min > 0.0 and rho_min > 0.0, \
             f"invalid state, min(rho) = {rho_min}, min(e) = {e_min}"
 
-    q = jnp.zeros((ivars.nq,) + U.shape[1:], dtype=U.dtype)
-    q = q.at[ivars.irho].set(rho)
-    q = q.at[ivars.iu].set(u)
-    q = q.at[ivars.iv].set(v)
-    q = q.at[ivars.ip].set(eos.pres(gamma, rho, e))
+    rows = [None] * ivars.nq
+    rows[ivars.irho] = rho
+    rows[ivars.iu] = u
+    rows[ivars.iv] = v
+    rows[ivars.ip] = eos.pres(gamma, rho, e)
     for nq_i, nu_i in zip(range(ivars.ix, ivars.ix + ivars.naux),
                           range(ivars.irhox, ivars.irhox + ivars.naux)):
-        q = q.at[nq_i].set(jnp.where(nonzero, U[nu_i] / safe_rho, 0.0))
-    return q
+        rows[nq_i] = jnp.where(nonzero, U[nu_i] / safe_rho, 0.0)
+    return jnp.stack(rows).astype(U.dtype)
 
 
 def prim_to_cons(q, gamma, ivars, myg):
     """Primitive stack -> conserved stack."""
-    U = jnp.zeros((ivars.nvar,) + q.shape[1:], dtype=q.dtype)
-    U = U.at[ivars.idens].set(q[ivars.irho])
-    U = U.at[ivars.ixmom].set(q[ivars.iu] * q[ivars.irho])
-    U = U.at[ivars.iymom].set(q[ivars.iv] * q[ivars.irho])
+    rows = [None] * ivars.nvar
+    rows[ivars.idens] = q[ivars.irho]
+    rows[ivars.ixmom] = q[ivars.iu] * q[ivars.irho]
+    rows[ivars.iymom] = q[ivars.iv] * q[ivars.irho]
     rhoe = eos.rhoe(gamma, q[ivars.ip])
-    U = U.at[ivars.iener].set(rhoe + 0.5 * q[ivars.irho] *
-                              (q[ivars.iu] ** 2 + q[ivars.iv] ** 2))
+    rows[ivars.iener] = rhoe + 0.5 * q[ivars.irho] * \
+        (q[ivars.iu] ** 2 + q[ivars.iv] ** 2)
     for nq_i, nu_i in zip(range(ivars.ix, ivars.ix + ivars.naux),
                           range(ivars.irhox, ivars.irhox + ivars.naux)):
-        U = U.at[nu_i].set(q[nq_i] * q[ivars.irho])
-    return U
+        rows[nu_i] = q[nq_i] * q[ivars.irho]
+    return jnp.stack(rows).astype(q.dtype)
 
 
 def get_external_sources(t, dt, U, ivars, rp, myg, *,
@@ -293,9 +293,17 @@ class Simulation(NullSimulation):
             U_old = U
 
             # conservative area/volume-weighted update
-            dtdV = dt / ai(jnp.asarray(myg.V), myg).v()
-            Ax = ai(jnp.asarray(myg.Ax), myg)
-            Ay = ai(jnp.asarray(myg.Ay), myg)
+            if coord == 0:
+                # uniform Cartesian geometry: scalar stand-ins (bitwise
+                # identical, avoids constant arrays in the traced graph)
+                from pyro2_tpu.mesh.indexer import aic
+                dtdV = dt / jnp.asarray(myg.dx * myg.dy)
+                Ax = aic(myg.dy)
+                Ay = aic(myg.dx)
+            else:
+                dtdV = dt / ai(jnp.asarray(myg.V), myg).v()
+                Ax = ai(jnp.asarray(myg.Ax), myg)
+                Ay = ai(jnp.asarray(myg.Ay), myg)
             Fx = ai(F_x, myg)
             Fy = ai(F_y, myg)
             upd = dtdV[None] * (

@@ -48,10 +48,18 @@ def interface_states(U, my_data, rp, ivars, tc, dt):
 
     tm_states = tc.timer("interfaceStates")
     tm_states.begin()
-    V_xl, V_xr = ifc.states(1, myg, myg.Lx, myg.dlogAx, dt, ivars, gamma,
-                            q, ldx)
-    V_yl, V_yr = ifc.states(2, myg, myg.Ly, myg.dlogAy, dt, ivars, gamma,
-                            q, ldy)
+    if getattr(myg, "coord_type", 0) == 0:
+        # Cartesian: uniform spacing and no geometric source -- pass
+        # scalars (bitwise identical; avoids constant geometry arrays)
+        V_xl, V_xr = ifc.states(1, myg, myg.dx, 0.0, dt, ivars, gamma,
+                                q, ldx)
+        V_yl, V_yr = ifc.states(2, myg, myg.dy, 0.0, dt, ivars, gamma,
+                                q, ldy)
+    else:
+        V_xl, V_xr = ifc.states(1, myg, myg.Lx, myg.dlogAx, dt, ivars,
+                                gamma, q, ldx)
+        V_yl, V_yr = ifc.states(2, myg, myg.Ly, myg.dlogAy, dt, ivars,
+                                gamma, q, ldy)
     tm_states.end()
 
     U_xl = comp.prim_to_cons(V_xl, gamma, ivars, myg)
@@ -129,26 +137,36 @@ def apply_transverse_flux(U_xl, U_xr, U_yl, U_yr,
 
     b = (2, 1)
     hdt = 0.5 * dt
-    V = ai(jnp.asarray(myg.V), myg)
-    Ax = ai(jnp.asarray(myg.Ax), myg)
-    Ay = ai(jnp.asarray(myg.Ay), myg)
+    if getattr(myg, "coord_type", 0) == 0:
+        # uniform Cartesian geometry: scalar stand-ins, bitwise identical
+        from pyro2_tpu.mesh.indexer import aic
+        V = aic(myg.dx * myg.dy)
+        Ax = aic(myg.dy)
+        Ay = aic(myg.dx)
+    else:
+        V = ai(jnp.asarray(myg.V), myg)
+        Ax = ai(jnp.asarray(myg.Ax), myg)
+        Ay = ai(jnp.asarray(myg.Ay), myg)
     Fx = ai(F_x, myg)
     Fy = ai(F_y, myg)
     hdtV = hdt / V.v(buf=b)
 
-    sl = (slice(None),
-          slice(myg.ilo - 2, myg.ihi + 2), slice(myg.jlo - 2, myg.jhi + 2))
+    # windowed adds as zero-pad + whole-array add (scatter-free; identical
+    # arithmetic inside the window, and the outside was zero-padded anyway)
+    from pyro2_tpu.mesh.indexer import embed
 
-    U_xl = U_xl.at[sl].add(-hdtV * (Fy.ip_jp(-1, 1, buf=b) *
-                                    Ay.ip_jp(-1, 1, buf=b) -
-                                    Fy.ip(-1, buf=b) * Ay.ip(-1, buf=b)))
-    U_xr = U_xr.at[sl].add(-hdtV * (Fy.jp(1, buf=b) * Ay.jp(1, buf=b) -
-                                    Fy.v(buf=b) * Ay.v(buf=b)))
-    U_yl = U_yl.at[sl].add(-hdtV * (Fx.ip_jp(1, -1, buf=b) *
-                                    Ax.ip_jp(1, -1, buf=b) -
-                                    Fx.jp(-1, buf=b) * Ax.jp(-1, buf=b)))
-    U_yr = U_yr.at[sl].add(-hdtV * (Fx.ip(1, buf=b) * Ax.ip(1, buf=b) -
-                                    Fx.v(buf=b) * Ax.v(buf=b)))
+    U_xl = U_xl + embed(-hdtV * (Fy.ip_jp(-1, 1, buf=b) *
+                                 Ay.ip_jp(-1, 1, buf=b) -
+                                 Fy.ip(-1, buf=b) * Ay.ip(-1, buf=b)),
+                        myg, b)
+    U_xr = U_xr + embed(-hdtV * (Fy.jp(1, buf=b) * Ay.jp(1, buf=b) -
+                                 Fy.v(buf=b) * Ay.v(buf=b)), myg, b)
+    U_yl = U_yl + embed(-hdtV * (Fx.ip_jp(1, -1, buf=b) *
+                                 Ax.ip_jp(1, -1, buf=b) -
+                                 Fx.jp(-1, buf=b) * Ax.jp(-1, buf=b)),
+                        myg, b)
+    U_yr = U_yr + embed(-hdtV * (Fx.ip(1, buf=b) * Ax.ip(1, buf=b) -
+                                 Fx.v(buf=b) * Ax.v(buf=b)), myg, b)
 
     if getattr(myg, "coord_type", 0) == 1:
         # non-conservative transverse pressure gradients (momentum only)
@@ -156,6 +174,8 @@ def apply_transverse_flux(U_xl, U_xr, U_yl, U_yr,
         Ly = ai(jnp.asarray(myg.Ly), myg)
         qxv = ai(qx[ivars.ip], myg)
         qyv = ai(qy[ivars.ip], myg)
+        sl = (slice(None), slice(myg.ilo - 2, myg.ihi + 2),
+              slice(myg.jlo - 2, myg.jhi + 2))
         sly = (ivars.iymom,) + sl[1:]
         slx = (ivars.ixmom,) + sl[1:]
         U_xl = U_xl.at[sly].add(-hdt * (qyv.ip_jp(-1, 1, buf=b) -
@@ -185,10 +205,9 @@ def apply_artificial_viscosity(F_x, F_y, q, U, my_data, rp, ivars):
     avy = ai(avisco_y, myg)
     Uv = ai(U, myg)
 
-    sl = (slice(None),
-          slice(myg.ilo - 2, myg.ihi + 2), slice(myg.jlo - 2, myg.jhi + 2))
-    F_x = F_x.at[sl].add(avx.v(buf=b)[None] *
-                         (Uv.ip(-1, buf=b) - Uv.v(buf=b)))
-    F_y = F_y.at[sl].add(avy.v(buf=b)[None] *
-                         (Uv.jp(-1, buf=b) - Uv.v(buf=b)))
+    from pyro2_tpu.mesh.indexer import embed
+    F_x = F_x + embed(avx.v(buf=b)[None] *
+                      (Uv.ip(-1, buf=b) - Uv.v(buf=b)), myg, b)
+    F_y = F_y + embed(avy.v(buf=b)[None] *
+                      (Uv.jp(-1, buf=b) - Uv.v(buf=b)), myg, b)
     return F_x, F_y
