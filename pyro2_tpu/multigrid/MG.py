@@ -40,6 +40,9 @@ __all__ = ["CellCenterMG2d"]
 # compiled-V-cycle cache: static config key -> jitted fn(v, f, params)
 _CYCLE_CACHE = {}
 
+# test hook: build the fused Pallas cycle in interpret mode on any backend
+_FORCE_PALLAS_INTERPRET = False
+
 
 class _MGDataShim:
     """Minimal CellCenterData2d stand-in for extended-BC dispatch on the
@@ -330,6 +333,22 @@ class CellCenterMG2d:
         return self._fill_v(level, v)
 
     def _build_cycle(self):
+        # on TPU, eligible configurations use the fused Pallas V-cycle
+        # (3 kernel dispatches/cycle instead of ~2000 small XLA ops --
+        # see multigrid/pallas_mg.py); anything else falls back to the
+        # jnp cycle below
+        if jax.default_backend() == "tpu" or _FORCE_PALLAS_INTERPRET:
+            try:
+                from pyro2_tpu.multigrid import pallas_mg
+                return pallas_mg.build_fused_cycle(
+                    self, interpret=_FORCE_PALLAS_INTERPRET)
+            except pallas_mg.Ineligible:
+                pass
+            except Exception as e:      # Mosaic/compile failure: fall back
+                if self.verbose:
+                    print(f"fused MG kernel unavailable ({e}); "
+                          "using the jnp V-cycle")
+
         nlev = self.nlevels - 1
         g = self.soln_grid
 
@@ -365,6 +384,7 @@ class CellCenterMG2d:
         residual_error = 1.e33
         relative_error = 1.e33
         cycle = 1
+        n_stalled = 0
         while residual_error > rtol and cycle <= self.max_cycles:
             v, r, rnorm = cycle_fn(self.v[-1], self.f[-1], params)
             self.v[-1] = v
@@ -375,6 +395,7 @@ class CellCenterMG2d:
             old_phi = v
 
             rnorm = float(rnorm)
+            prev_residual_error = residual_error
             if self.source_norm != 0.0:
                 residual_error = rnorm / self.source_norm
             else:
@@ -384,6 +405,23 @@ class CellCenterMG2d:
                 print(f"cycle {cycle}: relative err = {relative_error}, "
                       f"residual err = {residual_error}\n")
             cycle += 1
+
+            # stall detection: once the residual reaches the working
+            # dtype's roundoff floor it stops contracting (ratio ~1); a
+            # healthy V-cycle contracts ~10x/cycle, so two consecutive
+            # near-flat cycles mean further work is wasted (this is how
+            # f32 TPU solves avoid burning max_cycles against an
+            # f64-calibrated rtol)
+            if residual_error > 0.95 * prev_residual_error:
+                n_stalled += 1
+                if n_stalled >= 2:
+                    if self.verbose:
+                        print(f"MG stalled at residual err "
+                              f"{residual_error:.3e} (cycle {cycle - 1}); "
+                              "at the working-precision floor")
+                    break
+            else:
+                n_stalled = 0
 
         self.num_cycles = cycle - 1
         self.relative_error = relative_error

@@ -1,0 +1,347 @@
+"""Fused Pallas TPU V-cycle for the constant-coefficient multigrid solver.
+
+The jnp V-cycle (MG.py) is one jitted program, but at 512^2 it unrolls into
+~2000 small XLA ops (each red-black half sweep is a stencil + mask + four
+ghost-strip updates, x nsmooth x 2 visits x 9 levels), every one paying an
+HBM round trip and per-op overhead -- ~90 ms/cycle measured on a v5e.  This
+module runs the SAME cycle in (at most a few) Pallas kernels that keep the
+whole level hierarchy in VMEM:
+
+* levels up to ``CORE_MAX``^2 run inside ONE kernel (`the fused core') --
+  the entire sub-V-cycle, smoothing loops included, is a single VMEM-resident
+  program;
+* each finer `peeled' level adds two kernels per cycle: DOWN (pre-smooth +
+  residual + restrict) and UP (prolong + correct + post-smooth [+ residual]),
+  so a 512^2 solve is 3 kernel dispatches per V-cycle instead of ~2000 ops;
+* Mosaic cannot lower the strided/pad/scatter ops the windowed formulation
+  uses, so inside kernels everything is full-frame (see mesh/indexer.py
+  full_frame note): stencils are static rolls, edge ghost fills are
+  roll+iota-mask selects, and the factor-2 restrict / slope-limited prolong
+  become tiny constant matmuls built from iota comparisons
+  (c = R a R^T,  e = E c E^T + Sx mx E^T + E my Sy^T) that run on the MXU
+  with bf16x3 (Precision.HIGH ~= f32) accuracy.
+
+Numerics match the jnp path (MG.py:273-330, mirroring the reference
+4-color Gauss-Seidel, /root/reference/pyro/multigrid/MG.py:544-599) to f32
+roundoff; tests compare the two in Pallas interpret mode at f64 where they
+agree to ~1e-14.
+
+Eligibility (checked by `build_fused_cycle`, which raises `Ineligible`):
+plain CellCenterMG2d (subclasses override the smoother), square power-of-2
+grid with ng=1, nx <= 512 (VMEM), and homogeneous standard BCs on every
+edge.  Ineligible solves (variable coefficients, inhomogeneous BC
+functions, user-defined BCs) fall back to the jnp cycle transparently.
+"""
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["Ineligible", "build_fused_cycle", "CORE_MAX"]
+
+# finest level size handled inside the single fused-core kernel; levels
+# above are peeled into DOWN/UP kernels.  512^2 fully fused needs ~19 MB
+# of VMEM scratch (over the 16 MB budget); 256^2 fits comfortably.
+CORE_MAX = 256
+
+# largest eligible fine grid: the peeled-level kernels hold ~6 arrays of
+# (nx+2)^2 in VMEM; 512^2 fits, 1024^2 does not.
+NX_MAX = 512
+
+_HI = jax.lax.Precision.HIGH  # bf16x3 matmul: f32-quality, ~30x cheaper
+                              # than HIGHEST on the MXU for these shapes
+
+_SUPPORTED_BCS = frozenset(
+    ["outflow", "neumann", "dirichlet", "reflect-odd", "reflect-even",
+     "periodic"])
+
+
+class Ineligible(Exception):
+    """This MG configuration is not covered by the fused kernel."""
+
+
+# ---------------------------------------------------------------------------
+# in-kernel building blocks (full-frame: all arrays (q, q) incl. 1 ghost)
+# ---------------------------------------------------------------------------
+
+def _iotas(q):
+    xi = jax.lax.broadcasted_iota(jnp.int32, (q, q), 0)
+    yi = jax.lax.broadcasted_iota(jnp.int32, (q, q), 1)
+    return xi, yi
+
+
+def _fill_ghost_ff(a, bcs, q):
+    """Homogeneous ng=1 ghost fill via rolls + edge masks.
+
+    Edge order x-lo, x-hi, y-lo, y-hi matches indexer.fill_ghost (and the
+    reference array_indexer.py:150-274) so corners get identical values.
+    """
+    xi, yi = _iotas(q)
+
+    def edge(a, axis, side, kind):
+        ii = xi if axis == 0 else yi
+        m = (ii == 0) if side == 0 else (ii == q - 1)
+        sh = -1 if side == 0 else 1
+        if kind in ("outflow", "neumann", "reflect-even"):
+            src = jnp.roll(a, sh, axis)
+        elif kind in ("dirichlet", "reflect-odd"):
+            src = -jnp.roll(a, sh, axis)
+        else:  # periodic: ghost_lo <- a[q-2], ghost_hi <- a[1]
+            src = jnp.roll(a, (q - 2) * sh, axis)
+        return jnp.where(m, src, a)
+
+    a = edge(a, 0, 0, bcs[0])
+    a = edge(a, 0, 1, bcs[1])
+    a = edge(a, 1, 0, bcs[2])
+    a = edge(a, 1, 1, bcs[3])
+    return a
+
+
+def _interior(q):
+    xi, yi = _iotas(q)
+    return (xi >= 1) & (xi <= q - 2) & (yi >= 1) & (yi <= q - 2)
+
+
+def _smooth_n(v, f, n, q, dx, alpha, beta, bcs):
+    """n red-black Gauss-Seidel sweeps (ghosts refilled between colors),
+    the full-frame twin of MG._smooth_once/_smooth_n."""
+    xi, yi = _iotas(q)
+    inter = _interior(q)
+    red = inter & (((xi + yi) % 2) == 0)      # (i-ilo)+(j-jlo) even, ng=1
+    black = inter & (((xi + yi) % 2) == 1)
+    xc = beta / dx ** 2
+    denom = alpha + 4.0 * xc
+
+    def half(v, m):
+        upd = (f + xc * (jnp.roll(v, -1, 0) + jnp.roll(v, 1, 0) +
+                         jnp.roll(v, -1, 1) + jnp.roll(v, 1, 1))) / denom
+        return jnp.where(m, upd, v)
+
+    def body(_, v):
+        v = _fill_ghost_ff(half(v, red), bcs, q)
+        v = _fill_ghost_ff(half(v, black), bcs, q)
+        return v
+
+    v = _fill_ghost_ff(v, bcs, q)
+    return jax.lax.fori_loop(0, n, body, v)
+
+
+def _residual(v, f, q, dx, alpha, beta):
+    """r = f - alpha v + beta L v on the interior, zero ghosts."""
+    lap = (jnp.roll(v, -1, 0) + jnp.roll(v, 1, 0) +
+           jnp.roll(v, -1, 1) + jnp.roll(v, 1, 1) - 4.0 * v) / dx ** 2
+    return jnp.where(_interior(q), f - alpha * v + beta * lap,
+                     jnp.asarray(0.0, v.dtype))
+
+
+def _restrict_mm(r, qf):
+    """Factor-2 conservative average as c = R r R^T (patch.restrict_array)."""
+    qc = (qf - 2) // 2 + 2
+    ri = jax.lax.broadcasted_iota(jnp.int32, (qc, qf), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (qc, qf), 1)
+    ok = (ri >= 1) & (ri <= qc - 2)
+    hit = ((ci == 2 * ri - 1) | (ci == 2 * ri)) & ok
+    R = jnp.where(hit, 0.5, 0.0).astype(r.dtype)
+    return jnp.matmul(R, jnp.matmul(r, R.T, precision=_HI), precision=_HI)
+
+
+def _prolong_mm(vc, qc):
+    """Centered-slope bilinear prolongation (patch.prolong_array) as
+    e = E c E^T + Sx mx E^T + E my Sx^T with E/S from iota comparisons."""
+    qf = (qc - 2) * 2 + 2
+    ri = jax.lax.broadcasted_iota(jnp.int32, (qf, qc), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (qf, qc), 1)
+    ok = (ci >= 1) & (ci <= qc - 2)
+    lo = (ri == 2 * ci - 1) & ok              # low child of coarse cell ci
+    hi = (ri == 2 * ci) & ok                  # high child
+    E = jnp.where(lo | hi, 1.0, 0.0).astype(vc.dtype)
+    S = jnp.where(lo, -0.25, jnp.where(hi, 0.25, 0.0)).astype(vc.dtype)
+    mx = 0.5 * (jnp.roll(vc, -1, 0) - jnp.roll(vc, 1, 0))
+    my = 0.5 * (jnp.roll(vc, -1, 1) - jnp.roll(vc, 1, 1))
+    return (jnp.matmul(E, jnp.matmul(vc, E.T, precision=_HI), precision=_HI)
+            + jnp.matmul(S, jnp.matmul(mx, E.T, precision=_HI), precision=_HI)
+            + jnp.matmul(E, jnp.matmul(my, S.T, precision=_HI), precision=_HI))
+
+
+# ---------------------------------------------------------------------------
+# kernels
+# ---------------------------------------------------------------------------
+
+def _vmem_specs(n):
+    return [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(n)]
+
+
+def _make_core_kernel(top_level, dx_of, nsmooth, nsmooth_bottom, bcs,
+                      want_r, dtype, interpret):
+    """One kernel running the complete V-cycle for levels 0..top_level."""
+
+    def vcycle(level, v, f, alpha, beta):
+        q = 2 ** (level + 1) + 2
+        dx = dx_of(level)
+        if level == 0:
+            v = _smooth_n(v, f, nsmooth_bottom, q, dx, alpha, beta, bcs)
+            return _fill_ghost_ff(v, bcs, q)
+        v = _smooth_n(v, f, nsmooth, q, dx, alpha, beta, bcs)
+        r = _residual(v, f, q, dx, alpha, beta)
+        fc = _restrict_mm(r, q)
+        vc = vcycle(level - 1, jnp.zeros_like(fc), fc, alpha, beta)
+        v = _fill_ghost_ff(v + _prolong_mm(vc, (q - 2) // 2 + 2), bcs, q)
+        return _smooth_n(v, f, nsmooth, q, dx, alpha, beta, bcs)
+
+    q = 2 ** (top_level + 1) + 2
+
+    def kernel(ab_ref, v_ref, f_ref, *out_refs):
+        alpha, beta = ab_ref[0], ab_ref[1]
+        v = vcycle(top_level, v_ref[...], f_ref[...], alpha, beta)
+        out_refs[0][...] = v
+        if want_r:
+            out_refs[1][...] = _residual(v, f_ref[...], q, dx_of(top_level),
+                                         alpha, beta)
+
+    n_out = 2 if want_r else 1
+    return pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + _vmem_specs(2),
+        out_specs=_vmem_specs(n_out),
+        out_shape=[jax.ShapeDtypeStruct((q, q), dtype)] * n_out,
+        interpret=interpret)
+
+
+def _make_down_kernel(level, dx_of, nsmooth, bcs, dtype, interpret):
+    """Peeled-level descent: pre-smooth, residual, restrict."""
+    q = 2 ** (level + 1) + 2
+    qc = (q - 2) // 2 + 2
+    dx = dx_of(level)
+
+    def kernel(ab_ref, v_ref, f_ref, vo_ref, fco_ref):
+        alpha, beta = ab_ref[0], ab_ref[1]
+        v = _smooth_n(v_ref[...], f_ref[...], nsmooth, q, dx, alpha, beta,
+                      bcs)
+        r = _residual(v, f_ref[...], q, dx, alpha, beta)
+        vo_ref[...] = v
+        fco_ref[...] = _restrict_mm(r, q)
+
+    return pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + _vmem_specs(2),
+        out_specs=_vmem_specs(2),
+        out_shape=[jax.ShapeDtypeStruct((q, q), dtype),
+                   jax.ShapeDtypeStruct((qc, qc), dtype)],
+        interpret=interpret)
+
+
+def _make_up_kernel(level, dx_of, nsmooth, bcs, want_r, dtype, interpret):
+    """Peeled-level ascent: prolong + correct, post-smooth [, residual]."""
+    q = 2 ** (level + 1) + 2
+    qc = (q - 2) // 2 + 2
+    dx = dx_of(level)
+
+    def kernel(ab_ref, v_ref, f_ref, vc_ref, *out_refs):
+        alpha, beta = ab_ref[0], ab_ref[1]
+        v = v_ref[...] + _prolong_mm(vc_ref[...], qc)
+        v = _fill_ghost_ff(v, bcs, q)
+        v = _smooth_n(v, f_ref[...], nsmooth, q, dx, alpha, beta, bcs)
+        out_refs[0][...] = v
+        if want_r:
+            out_refs[1][...] = _residual(v, f_ref[...], q, dx, alpha, beta)
+
+    n_out = 2 if want_r else 1
+    return pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + _vmem_specs(3),
+        out_specs=_vmem_specs(n_out),
+        out_shape=[jax.ShapeDtypeStruct((q, q), dtype)] * n_out,
+        interpret=interpret)
+
+
+# ---------------------------------------------------------------------------
+# builder
+# ---------------------------------------------------------------------------
+
+def _bc_kinds(mg):
+    """The 4-edge BC kind tuple, or raise Ineligible."""
+    import pyro2_tpu.mesh.boundary as bnd
+    kinds = []
+    for bc in mg.bc_v:
+        for edge in ("xlb", "xrb", "ylb", "yrb"):
+            k = getattr(bc, edge)
+            if k in bnd.ext_bcs or k not in _SUPPORTED_BCS:
+                raise Ineligible(f"BC '{k}' not supported by fused kernel")
+        for val in (bc.xl_value, bc.xr_value, bc.yl_value, bc.yr_value):
+            if val is not None:
+                raise Ineligible("inhomogeneous BC values")
+    bc = mg.bc_v[-1]
+    return (bc.xlb, bc.xrb, bc.ylb, bc.yrb)
+
+
+def build_fused_cycle(mg, interpret=False):
+    """A jitted one_cycle(v, f, params) -> (v, r, rnorm) using fused
+    Pallas kernels, or raise Ineligible."""
+    from pyro2_tpu.multigrid.MG import CellCenterMG2d
+    if type(mg) is not CellCenterMG2d:
+        raise Ineligible("subclass overrides the smoother")
+    if mg.nx != mg.ny or (mg.nx & (mg.nx - 1)) != 0:
+        raise Ineligible("requires square power-of-2 grid")
+    if mg.nx > NX_MAX or mg.nx < 4:
+        raise Ineligible(f"nx={mg.nx} outside fused range")
+    if mg.ng != 1:
+        raise Ineligible("fused kernels assume ng=1")
+    # homogeneous BCs, same on all levels (coarse levels reuse the
+    # homogeneous container; the fine level must match)
+    bcs = _bc_kinds(mg)
+
+    dtype = mg.v[-1].dtype
+    g = mg.soln_grid
+    nlevels = mg.nlevels
+    dx_fine = g.dx
+
+    def dx_of(level):
+        return dx_fine * (2 ** (nlevels - 1 - level))
+
+    # split: levels 0..core_top in the fused core, finer levels peeled
+    core_top = nlevels - 1
+    while 2 ** (core_top + 1) > CORE_MAX:
+        core_top -= 1
+    peeled = list(range(core_top + 1, nlevels))   # coarse -> fine order
+
+    core = _make_core_kernel(core_top, dx_of, mg.nsmooth,
+                             mg.nsmooth_bottom, bcs,
+                             want_r=not peeled, dtype=dtype,
+                             interpret=interpret)
+    downs = {lv: _make_down_kernel(lv, dx_of, mg.nsmooth, bcs, dtype,
+                                   interpret) for lv in peeled}
+    ups = {lv: _make_up_kernel(lv, dx_of, mg.nsmooth, bcs,
+                               want_r=(lv == nlevels - 1), dtype=dtype,
+                               interpret=interpret) for lv in peeled}
+
+    dxdy = g.dx * g.dy
+
+    def one_cycle(v, f, params):
+        ab = jnp.stack([params["alpha"], params["beta"]]).astype(dtype)
+        stack = []
+        for lv in reversed(peeled):               # fine -> coarse descent
+            v, fc = downs[lv](ab, v, f)
+            stack.append((lv, v, f))
+            f = fc
+            v = jnp.zeros_like(fc)
+        outs = core(ab, v, f)
+        vc = outs[0]
+        r = outs[1] if not peeled else None
+        for lv, v_lv, f_lv in reversed(stack):    # coarse -> fine ascent
+            outs = ups[lv](ab, v_lv, f_lv, vc)
+            vc = outs[0]
+            if lv == nlevels - 1:
+                r = outs[1]
+        v = vc
+        rnorm = jnp.sqrt(dxdy * jnp.sum(r * r))
+        return v, r, rnorm
+
+    fn = jax.jit(one_cycle)
+    # force compilation now so Mosaic failures trigger the jnp fallback
+    # at build time rather than erroring mid-solve
+    spec = jax.ShapeDtypeStruct((g.qx, g.qy), dtype)
+    pspec = {"alpha": jax.ShapeDtypeStruct((), mg._params()["alpha"].dtype),
+             "beta": jax.ShapeDtypeStruct((), mg._params()["beta"].dtype)}
+    fn.lower(spec, spec, pspec).compile()
+    return fn

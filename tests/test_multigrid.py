@@ -196,3 +196,86 @@ class TestGeneralMG:
         err = _l2(v - jnp.asarray(true(a.x2d, a.y2d)), a.soln_grid)
         assert err < 5e-3, err
         assert a.residual_error < 1.e-11
+
+
+class TestFusedPallasCycle:
+    """The fused Pallas V-cycle (multigrid/pallas_mg.py) must reproduce the
+    jnp V-cycle.  Runs in Pallas interpret mode (f64 on the CPU test
+    backend) where the two agree to roundoff."""
+
+    def _cycle_pair(self, bct):
+        from pyro2_tpu.multigrid import pallas_mg
+        MG._CYCLE_CACHE.clear()
+        mg = MG.CellCenterMG2d(32, 32,
+                               xl_BC_type=bct[0], xr_BC_type=bct[1],
+                               yl_BC_type=bct[2], yr_BC_type=bct[3],
+                               alpha=0.7, beta=-1.3, verbose=0)
+        g = mg.soln_grid
+        f = jnp.asarray(np.sin(2 * np.pi * g.x2d) *
+                        np.cos(4 * np.pi * g.y2d) + 0.3 * g.x2d)
+        v0 = jnp.zeros((g.qx, g.qy), f.dtype)
+        fused = pallas_mg.build_fused_cycle(mg, interpret=True)
+        jnp_cycle = MG.CellCenterMG2d._build_cycle.__wrapped__(mg) \
+            if hasattr(MG.CellCenterMG2d._build_cycle, "__wrapped__") \
+            else None
+        # build the jnp path directly (bypassing the TPU dispatch logic)
+        nlev = mg.nlevels - 1
+
+        def one_cycle(v, ff, params):
+            v = mg._v_cycle(nlev, v, ff, params)
+            r = mg._residual(nlev, v, ff, params)
+            return v, r, ai(r, g).norm()
+
+        p = mg._params()
+        vf, rf, nf = fused(v0, f, p)
+        vj, rj, nj = one_cycle(v0, f, p)
+        return (np.asarray(vf), np.asarray(rf), float(nf),
+                np.asarray(vj), np.asarray(rj), float(nj))
+
+    def test_dirichlet_parity(self):
+        vf, rf, nf, vj, rj, nj = self._cycle_pair(["dirichlet"] * 4)
+        assert np.max(np.abs(vf - vj)) < 1e-13 * max(1, np.abs(vj).max())
+        assert abs(nf - nj) < 1e-12 * max(1.0, nj)
+
+    def test_periodic_neumann_parity(self):
+        vf, rf, nf, vj, rj, nj = self._cycle_pair(
+            ["periodic", "periodic", "neumann", "neumann"])
+        assert np.max(np.abs(vf - vj)) < 1e-13 * max(1, np.abs(vj).max())
+
+    def test_peeled_level_parity(self):
+        """Force level peeling (CORE_MAX below the fine grid) so the
+        DOWN/UP kernel path is exercised."""
+        from pyro2_tpu.multigrid import pallas_mg
+        saved = pallas_mg.CORE_MAX
+        pallas_mg.CORE_MAX = 8
+        try:
+            vf, rf, nf, vj, rj, nj = self._cycle_pair(["dirichlet"] * 4)
+        finally:
+            pallas_mg.CORE_MAX = saved
+        assert np.max(np.abs(vf - vj)) < 1e-13 * max(1, np.abs(vj).max())
+        assert abs(nf - nj) < 1e-12 * max(1.0, nj)
+
+    def test_full_solve_interpret(self):
+        """End-to-end solve through the fused path (interpret mode)."""
+        from pyro2_tpu.multigrid import pallas_mg
+        MG._CYCLE_CACHE.clear()
+        MG._FORCE_PALLAS_INTERPRET = True
+        try:
+            N = 64
+            mg = MG.CellCenterMG2d(N, N, verbose=0, alpha=0.0, beta=-1.0)
+            g = mg.soln_grid
+            f = -2.0 * ((1.0 - 6.0 * g.x2d ** 2) * g.y2d ** 2 *
+                        (1.0 - g.y2d ** 2) +
+                        (1.0 - 6.0 * g.y2d ** 2) * g.x2d ** 2 *
+                        (1.0 - g.x2d ** 2))
+            true = (g.x2d ** 2 - g.x2d ** 4) * (g.y2d ** 4 - g.y2d ** 2)
+            mg.init_zeros()
+            mg.init_RHS(jnp.asarray(f))
+            mg.solve(rtol=1e-11)
+            err = _l2(jnp.asarray(mg.get_solution()) - jnp.asarray(true), g)
+            # mg_convergence.txt: 2.57e-5 at 64^2
+            assert err < 3.0e-5, err
+            assert mg.residual_error < 1e-11
+        finally:
+            MG._FORCE_PALLAS_INTERPRET = False
+            MG._CYCLE_CACHE.clear()
