@@ -49,8 +49,10 @@ CORE_MAX = 256
 # (nx+2)^2 in VMEM; 512^2 fits, 1024^2 does not.
 NX_MAX = 512
 
-_HI = jax.lax.Precision.HIGH  # bf16x3 matmul: f32-quality, ~30x cheaper
-                              # than HIGHEST on the MXU for these shapes
+_HI = jax.lax.Precision.HIGHEST  # full-f32 matmul; Mosaic rejects HIGH
+                                 # ("Unsupported dot precision") on v5e,
+                                 # and these transfer-matrix products are
+                                 # a tiny fraction of cycle cost anyway
 
 _SUPPORTED_BCS = frozenset(
     ["outflow", "neumann", "dirichlet", "reflect-odd", "reflect-even",

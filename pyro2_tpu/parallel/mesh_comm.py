@@ -91,22 +91,23 @@ def halo_exchange(padded, local_grid, bc, px, py, *, axis_x="x", axis_y="y"):
     y_axis = padded.ndim - 1
 
     padded = exchange(padded, axis_x, px, x_axis)
-    # physical BCs on the domain-edge blocks (periodic is already done by
-    # the ring wrap)
+    # physical BCs on the domain-edge blocks.  Periodic ghosts come from
+    # the ring wrap -- except on an unsplit axis (px == 1), where exchange()
+    # is a no-op and the local periodic copy must be applied directly.
     ix = jax.lax.axis_index(axis_x)
-    if bc.xlb != "periodic":
+    if bc.xlb != "periodic" or px == 1:
         lo_filled = _edge_fill(padded, g, -2, 0, bc.xlb, bc.xl_value, g.dx)
         padded = jnp.where(ix == 0, lo_filled, padded)
-    if bc.xrb != "periodic":
+    if bc.xrb != "periodic" or px == 1:
         hi_filled = _edge_fill(padded, g, -2, 1, bc.xrb, bc.xr_value, g.dx)
         padded = jnp.where(ix == px - 1, hi_filled, padded)
 
     padded = exchange(padded, axis_y, py, y_axis)
     iy = jax.lax.axis_index(axis_y)
-    if bc.ylb != "periodic":
+    if bc.ylb != "periodic" or py == 1:
         lo_filled = _edge_fill(padded, g, -1, 0, bc.ylb, bc.yl_value, g.dy)
         padded = jnp.where(iy == 0, lo_filled, padded)
-    if bc.yrb != "periodic":
+    if bc.yrb != "periodic" or py == 1:
         hi_filled = _edge_fill(padded, g, -1, 1, bc.yrb, bc.yr_value, g.dy)
         padded = jnp.where(iy == py - 1, hi_filled, padded)
 

@@ -129,3 +129,90 @@ class TestGraftEntry:
         jax.block_until_ready(out)
         assert out.shape == args[0].shape
         ge.dryrun_multichip(8)
+
+
+class TestShardedMG:
+    """The block-partitioned SPMD multigrid (parallel/sharded_mg.py) must be
+    partition-invariant vs the serial CellCenterMG2d, and must converge to
+    the analytic Poisson solution at the documented truncation error."""
+
+    def _poisson_rhs(self, g):
+        return -2.0 * ((1.0 - 6.0 * g.x2d ** 2) * g.y2d ** 2 *
+                       (1.0 - g.y2d ** 2) +
+                       (1.0 - 6.0 * g.y2d ** 2) * g.x2d ** 2 *
+                       (1.0 - g.x2d ** 2))
+
+    @pytest.mark.parametrize("shape", [(2, 4), (4, 2), (1, 8)])
+    def test_partition_invariance_dirichlet(self, shape):
+        from pyro2_tpu.multigrid import MG
+        from pyro2_tpu.parallel.sharded_mg import ShardedMG
+
+        N = 64
+        mesh = make_mesh(shape=shape)
+        smg = ShardedMG(N, N, mesh, alpha=0.8, beta=-1.4)
+        ser = MG.CellCenterMG2d(N, N, alpha=0.8, beta=-1.4, verbose=0)
+        g = ser.soln_grid
+        f = self._poisson_rhs(g)
+
+        smg.init_zeros()
+        smg.init_RHS(jnp.asarray(f))
+        smg.solve(rtol=1e-11)
+
+        ser.init_zeros()
+        ser.init_RHS(jnp.asarray(f))
+        ser.solve(rtol=1e-11)
+
+        assert smg.num_cycles == ser.num_cycles
+        v_ser = np.asarray(ser.get_solution())[g.ilo:g.ihi + 1,
+                                               g.jlo:g.jhi + 1]
+        v_sh = np.asarray(smg.get_solution())
+        scale = max(1.0, np.abs(v_ser).max())
+        assert np.max(np.abs(v_sh - v_ser)) < 1e-12 * scale
+
+    def test_mixed_bc_partition_invariance(self):
+        from pyro2_tpu.multigrid import MG
+        from pyro2_tpu.parallel.sharded_mg import ShardedMG
+
+        N = 32
+        mesh = make_mesh(shape=(2, 4))
+        kw = dict(xl_BC_type="periodic", xr_BC_type="periodic",
+                  yl_BC_type="neumann", yr_BC_type="dirichlet",
+                  alpha=1.0, beta=-0.7)
+        smg = ShardedMG(N, N, mesh, **kw)
+        ser = MG.CellCenterMG2d(N, N, verbose=0, **kw)
+        g = ser.soln_grid
+        f = np.sin(2 * np.pi * g.x2d) * np.cos(0.5 * np.pi * g.y2d)
+
+        smg.init_zeros()
+        smg.init_RHS(jnp.asarray(f))
+        smg.solve(rtol=1e-11)
+
+        ser.init_zeros()
+        ser.init_RHS(jnp.asarray(f))
+        ser.solve(rtol=1e-11)
+
+        v_ser = np.asarray(ser.get_solution())[g.ilo:g.ihi + 1,
+                                               g.jlo:g.jhi + 1]
+        v_sh = np.asarray(smg.get_solution())
+        scale = max(1.0, np.abs(v_ser).max())
+        assert np.max(np.abs(v_sh - v_ser)) < 1e-12 * scale
+
+    def test_analytic_truncation_error(self):
+        """mg_convergence.txt oracle: L2 error 2.57e-5 at 64^2."""
+        from pyro2_tpu.parallel.sharded_mg import ShardedMG
+
+        N = 64
+        mesh = make_mesh(shape=(2, 4))
+        smg = ShardedMG(N, N, mesh, alpha=0.0, beta=-1.0)
+        g = smg.soln_grid
+        f = self._poisson_rhs(g)
+        true = ((g.x2d ** 2 - g.x2d ** 4) *
+                (g.y2d ** 4 - g.y2d ** 2))[g.ilo:g.ihi + 1,
+                                           g.jlo:g.jhi + 1]
+        smg.init_zeros()
+        smg.init_RHS(jnp.asarray(f))
+        smg.solve(rtol=1e-11)
+        assert smg.residual_error < 1e-11
+        err = float(jnp.sqrt(g.dx * g.dy * jnp.sum(
+            (smg.get_solution() - jnp.asarray(true)) ** 2)))
+        assert err < 3.0e-5, err
