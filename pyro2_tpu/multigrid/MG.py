@@ -360,6 +360,51 @@ class CellCenterMG2d:
 
         return jax.jit(one_cycle)
 
+    def _build_solve(self):
+        """The whole solve -- V-cycles + convergence/stall tests -- as ONE
+        jitted program (lax.while_loop over the compiled cycle), so a solve
+        is a single dispatch instead of a host round trip per cycle.
+        Semantics match the host loop in `solve` exactly."""
+        key = self._cycle_key()
+        cycle_fn = _CYCLE_CACHE.get(key)
+        if cycle_fn is None:
+            cycle_fn = self._build_cycle()
+            _CYCLE_CACHE[key] = cycle_fn
+
+        g = self.soln_grid
+        nlev = self.nlevels - 1
+        max_cycles = self.max_cycles
+        small = self.small
+
+        def interior_norm(a):
+            return jnp.sqrt(g.dx * g.dy * jnp.sum(
+                a[g.ilo:g.ihi + 1, g.jlo:g.jhi + 1] ** 2))
+
+        def full_solve(v0, f, params, rtol, source_norm):
+            dt = v0.dtype
+            denom = jnp.where(source_norm != 0.0, source_norm,
+                              jnp.asarray(1.0, dt))
+            big = jnp.asarray(1.e33, dt)
+
+            def cond(c):
+                v, r, res, rel, cycle, stall = c
+                return (res > rtol) & (cycle <= max_cycles) & (stall < 2)
+
+            def body(c):
+                v, r, res, rel, cycle, stall = c
+                v2, r2, rnorm = cycle_fn(v, f, params)
+                new = (rnorm / denom).astype(dt)
+                rel = interior_norm((v2 - v) / (v2 + small)).astype(dt)
+                stall = jnp.where(new > 0.95 * res, stall + 1, 0)
+                return (v2, r2, new, rel, cycle + 1, stall)
+
+            c0 = (v0, jnp.zeros_like(v0), big, big,
+                  jnp.asarray(1, jnp.int32), jnp.asarray(0, jnp.int32))
+            v, r, res, rel, cycle, _ = jax.lax.while_loop(cond, body, c0)
+            return self._fill_v(nlev, v), r, res, rel, cycle - 1
+
+        return jax.jit(full_solve)
+
     # ------------------------------------------------------------------
     # driver
     # ------------------------------------------------------------------
@@ -368,8 +413,26 @@ class CellCenterMG2d:
         if not self.initialized_rhs:
             msg.fail("ERROR: RHS not initialized")
 
-        if self.verbose:
-            print("source norm = ", self.source_norm)
+        if not self.verbose:
+            # non-verbose (the solver hot path): the entire solve is one
+            # jitted dispatch
+            skey = ("solve",) + self._cycle_key()
+            solve_fn = _CYCLE_CACHE.get(skey)
+            if solve_fn is None:
+                solve_fn = self._build_solve()
+                _CYCLE_CACHE[skey] = solve_fn
+            dt = self.v[-1].dtype
+            v, r, res, rel, ncyc = solve_fn(
+                self.v[-1], self.f[-1], self._params(),
+                jnp.asarray(rtol, dt), jnp.asarray(self.source_norm, dt))
+            self.v[-1] = v
+            self.r[-1] = r
+            self.num_cycles = int(ncyc)
+            self.residual_error = float(res)
+            self.relative_error = float(rel)
+            return
+
+        print("source norm = ", self.source_norm)
 
         key = self._cycle_key()
         cycle_fn = _CYCLE_CACHE.get(key)

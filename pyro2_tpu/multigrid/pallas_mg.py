@@ -174,6 +174,12 @@ def _vmem_specs(n):
     return [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(n)]
 
 
+# the peeled 512-level kernels hold ~50 MB of live full-frame temporaries,
+# over Mosaic's 16 MB default scoped-vmem budget; v5e physically has 128 MB
+# of VMEM, so raise the cap (verified to compile+run on hardware)
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+
 def _make_core_kernel(top_level, dx_of, nsmooth, nsmooth_bottom, bcs,
                       want_r, dtype, interpret):
     """One kernel running the complete V-cycle for levels 0..top_level."""
@@ -207,6 +213,7 @@ def _make_core_kernel(top_level, dx_of, nsmooth, nsmooth_bottom, bcs,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + _vmem_specs(2),
         out_specs=_vmem_specs(n_out),
         out_shape=[jax.ShapeDtypeStruct((q, q), dtype)] * n_out,
+        compiler_params=_COMPILER_PARAMS,
         interpret=interpret)
 
 
@@ -230,6 +237,7 @@ def _make_down_kernel(level, dx_of, nsmooth, bcs, dtype, interpret):
         out_specs=_vmem_specs(2),
         out_shape=[jax.ShapeDtypeStruct((q, q), dtype),
                    jax.ShapeDtypeStruct((qc, qc), dtype)],
+        compiler_params=_COMPILER_PARAMS,
         interpret=interpret)
 
 
@@ -254,6 +262,7 @@ def _make_up_kernel(level, dx_of, nsmooth, bcs, want_r, dtype, interpret):
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + _vmem_specs(3),
         out_specs=_vmem_specs(n_out),
         out_shape=[jax.ShapeDtypeStruct((q, q), dtype)] * n_out,
+        compiler_params=_COMPILER_PARAMS,
         interpret=interpret)
 
 

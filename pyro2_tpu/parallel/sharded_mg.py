@@ -291,12 +291,70 @@ class ShardedMG:
                              out_specs=(spec, spec, P()))
         return jax.jit(body)
 
+    def _build_solve(self):
+        """The whole sharded solve as ONE jitted dispatch (lax.while_loop
+        over the shard_map'ed cycle) -- see CellCenterMG2d._build_solve."""
+        key = self._cycle_key()
+        cycle_fn = _CYCLE_CACHE.get(key)
+        if cycle_fn is None:
+            cycle_fn = self._build_cycle()
+            _CYCLE_CACHE[key] = cycle_fn
+
+        g = self.soln_grid
+        max_cycles = self.max_cycles
+        small = self.serial.small
+
+        def interior_norm(a):
+            return jnp.sqrt(g.dx * g.dy * jnp.sum(a ** 2))
+
+        def full_solve(v0, f, params, rtol, source_norm):
+            dt = v0.dtype
+            denom = jnp.where(source_norm != 0.0, source_norm,
+                              jnp.asarray(1.0, dt))
+            big = jnp.asarray(1.e33, dt)
+
+            def cond(c):
+                v, r, res, rel, cycle, stall = c
+                return (res > rtol) & (cycle <= max_cycles) & (stall < 2)
+
+            def body(c):
+                v, r, res, rel, cycle, stall = c
+                v2, r2, rnorm = cycle_fn(v, f, params)
+                new = (rnorm / denom).astype(dt)
+                rel = interior_norm((v2 - v) / (v2 + small)).astype(dt)
+                stall = jnp.where(new > 0.95 * res, stall + 1, 0)
+                return (v2, r2, new, rel, cycle + 1, stall)
+
+            c0 = (v0, jnp.zeros_like(v0), big, big,
+                  jnp.asarray(1, jnp.int32), jnp.asarray(0, jnp.int32))
+            v, r, res, rel, cycle, _ = jax.lax.while_loop(cond, body, c0)
+            return v, r, res, rel, cycle - 1
+
+        return jax.jit(full_solve)
+
     # ------------------------------------------------------------------
     # driver (mirrors CellCenterMG2d.solve)
     # ------------------------------------------------------------------
     def solve(self, rtol=1.e-11):
         if not self.initialized_rhs:
             msg.fail("ERROR: RHS not initialized")
+
+        if not self.verbose:
+            skey = ("solve",) + self._cycle_key()
+            solve_fn = _CYCLE_CACHE.get(skey)
+            if solve_fn is None:
+                solve_fn = self._build_solve()
+                _CYCLE_CACHE[skey] = solve_fn
+            dt = self.v_int.dtype
+            v, r, res, rel, ncyc = solve_fn(
+                self.v_int, self.f_int, self.serial._params(),
+                jnp.asarray(rtol, dt), jnp.asarray(self.source_norm, dt))
+            self.v_int = v
+            self.r_int = r
+            self.num_cycles = int(ncyc)
+            self.residual_error = float(res)
+            self.relative_error = float(rel)
+            return
 
         key = self._cycle_key()
         cycle_fn = _CYCLE_CACHE.get(key)
