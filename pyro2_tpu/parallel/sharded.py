@@ -6,21 +6,27 @@ global interior over the mesh -> pad each block -> halo_exchange (ppermute +
 edge-block physical fills) -> run the SAME single-block step on the local
 padded block -> return the updated interior.  dt reduces with lax.pmin.
 
+Supported solvers: "compressible" (CTU, step(U, t, dt)) and "swe"
+(CTU, step(U, dt)); both follow the same pure-jitted-step contract
+(Simulation._make_step).  The reference has no counterpart for any of
+this (SURVEY.md section 2.9).
+
 Limitations (round 1): standard BC types only (no hse/ambient/ramp in the
 sharded path), and solid-wall Riemann clamping is disabled when an axis is
 split (the clamp indices are block-local); periodic/outflow flows are exact.
 """
 
+import importlib
+
 import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from pyro2_tpu.mesh.grid import Cartesian2d
-from pyro2_tpu.mesh.indexer import ai
 from pyro2_tpu.parallel.mesh_comm import halo_exchange
 from pyro2_tpu.util import profile_pyro
 
-__all__ = ["make_sharded_compressible_step", "ShardedCompressible"]
+__all__ = ["ShardedSim", "ShardedCompressible", "ShardedSWE",
+           "make_sharded_compressible_step"]
 
 
 class _Solid:
@@ -33,18 +39,25 @@ class _Solid:
         self.yr = base.yr if py == 1 else 0
 
 
-class ShardedCompressible:
-    """A compressible CTU step SPMD-parallelized over a device mesh.
+class ShardedSim:
+    """A solver's CTU step SPMD-parallelized over a device mesh.
 
     Builds a block-local Simulation (same runtime parameters, local block
     dimensions) and wraps its pure step with shard_map: halo exchange
     replaces the driver-level ghost fill.
     """
 
-    def __init__(self, rp, mesh, *, problem="test", ng=4):
-        import pyro2_tpu.mesh.boundary as bnd
-        from pyro2_tpu.simulation_null import bc_setup
-        from pyro2_tpu.solvers import compressible
+    #: solver name -> does the jitted step take the time argument?
+    _STEP_TAKES_T = {"compressible": True, "swe": False}
+
+    def __init__(self, solver, rp, mesh, *, problem="test", ng=4):
+        if solver not in self._STEP_TAKES_T:
+            raise ValueError(
+                f"solver '{solver}' has no sharded step adapter "
+                f"(supported: {sorted(self._STEP_TAKES_T)})")
+        self.solver = solver
+        self._takes_t = self._STEP_TAKES_T[solver]
+        solver_mod = importlib.import_module(f"pyro2_tpu.solvers.{solver}")
 
         self.mesh = mesh
         self.px = mesh.devices.shape[0]
@@ -58,11 +71,10 @@ class ShardedCompressible:
         bx, by = nx // self.px, ny // self.py
 
         # the GLOBAL grid/problem (for ICs and dt) ...
-        import importlib
         problem_mod = importlib.import_module(
-            f"pyro2_tpu.solvers.compressible.problems.{problem}")
-        self.global_sim = compressible.Simulation(
-            "compressible", problem, problem_mod.init_data, rp)
+            f"pyro2_tpu.solvers.{solver}.problems.{problem}")
+        self.global_sim = solver_mod.Simulation(
+            solver, problem, problem_mod.init_data, rp)
         self.global_sim.initialize(ng=ng)
 
         # ... and a block-LOCAL simulation whose jitted step becomes the
@@ -76,12 +88,10 @@ class ShardedCompressible:
                            gg.xmin + (gg.xmax - gg.xmin) / self.px)
         local_rp.set_param("mesh.ymax",
                            gg.ymin + (gg.ymax - gg.ymin) / self.py)
-        self.local_sim = compressible.Simulation(
-            "compressible", problem, problem_mod.init_data, local_rp)
+        self.local_sim = solver_mod.Simulation(
+            solver, problem, problem_mod.init_data, local_rp)
         self.local_sim.initialize(ng=ng)
         self.local_sim.solid = _Solid(self.local_sim.solid, self.px, self.py)
-        # rebuild the step with the adjusted solid flags
-        self.local_sim._step = self.local_sim._make_step()
         self.local_sim.tc = profile_pyro.TimerCollection()
 
         self.local_grid = self.local_sim.cc_data.grid
@@ -97,6 +107,8 @@ class ShardedCompressible:
         ng = self.ng
         px, py = self.px, self.py
         bcs = self.bcs
+        takes_t = self._takes_t
+        # rebuild the step with the adjusted solid flags
         local_step = self.local_sim._make_step()
 
         def body(U_int, t, dt):
@@ -111,7 +123,7 @@ class ShardedCompressible:
                       for n in range(self.nvar)]
             U = jnp.stack(filled)
 
-            U = local_step(U, t, dt)
+            U = local_step(U, t, dt) if takes_t else local_step(U, dt)
             return U[..., ng:-ng, ng:-ng]
 
         mesh = self.mesh
@@ -138,8 +150,18 @@ class ShardedCompressible:
         return self.global_sim.dt
 
     def step(self, U_int, t, dt):
-        """One sharded CTU step on the (nvar, nx, ny) interior."""
+        """One sharded step on the (nvar, nx, ny) interior."""
         return self._step(U_int, t, dt)
+
+
+class ShardedCompressible(ShardedSim):
+    def __init__(self, rp, mesh, *, problem="test", ng=4):
+        super().__init__("compressible", rp, mesh, problem=problem, ng=ng)
+
+
+class ShardedSWE(ShardedSim):
+    def __init__(self, rp, mesh, *, problem="test", ng=4):
+        super().__init__("swe", rp, mesh, problem=problem, ng=ng)
 
 
 def _clone_rp(rp):

@@ -15,7 +15,7 @@ from pyro2_tpu.mesh.grid import Cartesian2d
 from pyro2_tpu.mesh.indexer import fill_ghost
 from pyro2_tpu.parallel import factor_devices, make_mesh
 from pyro2_tpu.parallel.mesh_comm import halo_exchange
-from pyro2_tpu.parallel.sharded import ShardedCompressible
+from pyro2_tpu.parallel.sharded import ShardedCompressible, ShardedSWE
 from pyro2_tpu.util.runparams import RuntimeParameters
 
 pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
@@ -102,6 +102,37 @@ class TestPartitionInvariance:
         rp = _rp(32, 32)
         mesh = make_mesh(8)
         sc = ShardedCompressible(rp, mesh, problem="advect")
+
+        U = sc.global_interior()
+        dt = 0.002
+        U1 = sc.step(U, 0.0, dt)
+        U2 = sc.step(U1, dt, dt)
+
+        gs = sc.global_sim
+        gs.dt = dt
+        gs.cc_data.fill_BC_all()
+        gs.evolve()
+        gs.cc_data.fill_BC_all()
+        gs.evolve()
+        gg = gs.cc_data.grid
+        U_ref = gs.cc_data.data[:, gg.ilo:gg.ihi + 1, gg.jlo:gg.jhi + 1]
+
+        np.testing.assert_array_equal(np.asarray(U2), np.asarray(U_ref))
+
+    def test_swe_sharded_bitwise(self):
+        rp = RuntimeParameters()
+        rp.load_params("pyro2_tpu/_defaults")
+        rp.load_params("pyro2_tpu/solvers/swe/_defaults")
+        for k, v in {"mesh.nx": 32, "mesh.ny": 32,
+                     "mesh.xlboundary": "periodic",
+                     "mesh.xrboundary": "periodic",
+                     "mesh.ylboundary": "periodic",
+                     "mesh.yrboundary": "periodic",
+                     "driver.verbose": 0, "vis.dovis": 0,
+                     "io.do_io": 0}.items():
+            rp.set_param(k, v, no_new=False)
+        mesh = make_mesh(8)
+        sc = ShardedSWE(rp, mesh, problem="advect")
 
         U = sc.global_interior()
         dt = 0.002
