@@ -7,6 +7,10 @@ physical BCs apply only on boundary-owning blocks, and global reductions
 (dt, norms) use `lax.pmin`/`psum`.
 """
 
+from pyro2_tpu.parallel.ensemble import ensemble_states, ensemble_step
 from pyro2_tpu.parallel.mesh_comm import (factor_devices, halo_exchange,
                                           make_mesh)
-from pyro2_tpu.parallel.sharded import make_sharded_compressible_step
+from pyro2_tpu.parallel.sharded import (ShardedCompressible, ShardedSim,
+                                        ShardedSWE,
+                                        make_sharded_compressible_step)
+from pyro2_tpu.parallel.sharded_mg import ShardedMG

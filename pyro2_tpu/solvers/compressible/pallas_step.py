@@ -148,6 +148,11 @@ def make_pallas_ctu_step(nx, ny, dx, dy, gamma, rp_params, ivars,
         kernel,
         out_shape=jax.ShapeDtypeStruct((nvar, nx, qy_pad), jnp.float32),
         grid_spec=grid_spec,
+        # the CTU pipeline's live full-band temporaries exceed Mosaic's
+        # 16 MB default scoped-vmem budget for tile_rows >= 64; v5e has
+        # 128 MB physical VMEM
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
     )
 
     @jax.jit

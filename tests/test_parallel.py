@@ -247,3 +247,39 @@ class TestShardedMG:
         err = float(jnp.sqrt(g.dx * g.dy * jnp.sum(
             (smg.get_solution() - jnp.asarray(true)) ** 2)))
         assert err < 3.0e-5, err
+
+
+class TestEnsemble:
+    """Ensemble (vmap) parallelism: a batch of problems stepped together
+    must match each problem stepped alone (to f64 roundoff; jit-of-vmap
+    reassociates reductions)."""
+
+    def test_compressible_ensemble_matches_individual(self):
+        import importlib
+
+        from pyro2_tpu.parallel.ensemble import ensemble_states, ensemble_step
+        from pyro2_tpu.solvers import compressible
+
+        rp = _rp(16, 16)
+        problem = importlib.import_module(
+            "pyro2_tpu.solvers.compressible.problems.advect")
+        sim = compressible.Simulation("compressible", "advect",
+                                      problem.init_data, rp)
+        sim.initialize()
+        step = sim._make_step()
+        fill = sim.cc_data.fill_bc_stack
+
+        U0 = sim.cc_data.data
+        # 3 distinct (periodic-shifted) problem states
+        members = [U0, jnp.roll(U0, 3, axis=-1), jnp.roll(U0, 5, axis=-2)]
+        Us = ensemble_states(members)
+
+        estep = ensemble_step(step, fill_bc=fill)
+        dt = 1.e-3
+        out = estep(Us, 0.0, dt)
+
+        for i, U in enumerate(members):
+            ref = step(fill(U), 0.0, dt)
+            np.testing.assert_allclose(np.asarray(out[i]),
+                                       np.asarray(ref),
+                                       rtol=1e-13, atol=1e-14)
