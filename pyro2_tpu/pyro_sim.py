@@ -9,6 +9,8 @@ import argparse
 import importlib
 import os
 
+import jax
+
 import pyro2_tpu.util.profile_pyro as profile
 from pyro2_tpu.util import compare, msg
 from pyro2_tpu.util.runparams import RuntimeParameters, _get_val
@@ -120,6 +122,12 @@ class Pyro:
 
         self.verbose = self.rp.get_param("driver.verbose")
         self.dovis = self.rp.get_param("vis.dovis")
+
+        # opt-in NaN trapping: the TPU analog of the reference's debug-time
+        # state-validity checks (SURVEY.md section 5.2) -- every jitted
+        # kernel re-runs un-jitted on NaN production and raises at the op
+        if self.rp.get_param("driver.debug_nans"):
+            jax.config.update("jax_debug_nans", True)
 
         self.sim = self.solver.Simulation(
             self.solver_name, self.problem_name, self.problem_func, self.rp,

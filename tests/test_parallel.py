@@ -283,3 +283,52 @@ class TestEnsemble:
             np.testing.assert_allclose(np.asarray(out[i]),
                                        np.asarray(ref),
                                        rtol=1e-13, atol=1e-14)
+
+
+class TestShardedDiffusion:
+    """The SPMD C-N diffusion step (ShardedMG consumer) must be
+    partition-invariant vs the serial diffusion solver."""
+
+    def test_matches_serial(self):
+        import importlib
+
+        from pyro2_tpu.parallel.sharded_diffusion import ShardedDiffusion
+        from pyro2_tpu.solvers import diffusion
+
+        problem_mod = importlib.import_module(
+            "pyro2_tpu.solvers.diffusion.problems.gaussian")
+
+        def make_rp():
+            rp = RuntimeParameters()
+            rp.load_params("pyro2_tpu/_defaults")
+            rp.load_params("pyro2_tpu/solvers/diffusion/_defaults")
+            for k, v in problem_mod.PROBLEM_PARAMS.items():
+                rp.set_param(k, v, no_new=False)
+            for k, v in {"mesh.nx": 32, "mesh.ny": 32,
+                         "mesh.xlboundary": "neumann",
+                         "mesh.xrboundary": "neumann",
+                         "mesh.ylboundary": "neumann",
+                         "mesh.yrboundary": "neumann",
+                         "driver.verbose": 0, "vis.dovis": 0,
+                         "io.do_io": 0}.items():
+                rp.set_param(k, v, no_new=False)
+            return rp
+
+        mesh = make_mesh(shape=(2, 4))
+        sd = ShardedDiffusion(make_rp(), mesh, problem="gaussian")
+        for _ in range(3):
+            sd.evolve()
+
+        gs = diffusion.Simulation("diffusion", "gaussian",
+                                  problem_mod.init_data, make_rp())
+        gs.initialize()
+        gs.method_compute_timestep()
+        for _ in range(3):
+            gs.evolve()
+        gg = gs.cc_data.grid
+        phi_ref = np.asarray(gs.cc_data.get_var("phi"))[
+            gg.ilo:gg.ihi + 1, gg.jlo:gg.jhi + 1]
+
+        phi_sh = np.asarray(sd.get_phi())
+        scale = max(1.0, np.abs(phi_ref).max())
+        assert np.max(np.abs(phi_sh - phi_ref)) < 1e-12 * scale
