@@ -70,7 +70,7 @@ def build_step():
             myg = sim.cc_data.grid
             pallas_step = make_pallas_ctu_step(
                 N, N, myg.dx, myg.dy, rp.get_param("eos.gamma"),
-                rp.params, sim.ivars, tile_rows=32)
+                rp.params, sim.ivars, tile_rows=128)
         except Exception:
             pallas_step = None
 

@@ -1,0 +1,53 @@
+"""On-device validation of the fused Pallas CTU kernel.
+
+These run only when a TPU-class backend is attached (the default test
+suite pins jax to CPU where Mosaic cannot compile); run with
+
+    PYRO2_TPU_TESTS=1 python -m pytest tests/test_pallas_tpu.py -q
+
+The kernel must be BITWISE identical to the jnp reference step on the
+interior (same arithmetic, different schedule — see
+solvers/compressible/pallas_step.py).
+"""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    jax.default_backend() == "cpu",
+    reason="Mosaic kernels need a TPU-class backend")
+
+
+@pytest.mark.parametrize("tile_rows", [32, 128])
+def test_ctu_kernel_bitwise_vs_jnp(tile_rows):
+    from pyro2_tpu import Pyro
+    from pyro2_tpu.solvers.compressible.pallas_step import \
+        make_pallas_ctu_step
+
+    N = 256
+    p = Pyro("compressible")
+    p.initialize_problem("kh", inputs_dict={
+        "mesh.nx": N, "mesh.ny": N,
+        "mesh.xlboundary": "periodic", "mesh.xrboundary": "periodic",
+        "mesh.ylboundary": "periodic", "mesh.yrboundary": "periodic",
+        "compressible.small_dens": -1.e30,
+        "driver.verbose": 0, "vis.dovis": 0, "io.do_io": 0})
+    sim, rp = p.sim, p.rp
+
+    myg = sim.cc_data.grid
+    fill = sim.cc_data.fill_bc_stack
+    U0 = fill(sim.cc_data.data)
+    sim.cc_data.fill_BC_all()
+    sim.method_compute_timestep()
+    dt = jnp.asarray(sim.dt, U0.dtype)
+
+    ref = jax.jit(sim._make_step())(U0, jnp.asarray(0.0, U0.dtype), dt)
+
+    pstep = make_pallas_ctu_step(
+        N, N, myg.dx, myg.dy, rp.get_param("eos.gamma"),
+        rp.params, sim.ivars, tile_rows=tile_rows)
+    got = pstep(U0, dt)
+
+    ng = myg.ng
+    assert bool(jnp.all(ref[:, ng:-ng, ng:-ng] == got[:, ng:-ng, ng:-ng]))
