@@ -208,6 +208,27 @@ class ai:
     def is_asymmetric(self, nodal=False, tol=1.0e-14):
         return self.is_symmetric(nodal=nodal, tol=tol, asymmetric=True)
 
+    def pretty_print(self, fmt=None):
+        """Print the array with j increasing upward, ghost cells in color
+        (reference: array_indexer.py:276-333)."""
+        import numpy as np
+        a = np.asarray(self.a)
+        if a.ndim != 2:
+            raise ValueError("pretty_print expects a single 2-d component")
+        if fmt is None:
+            fmt = "%4d" if np.issubdtype(a.dtype, np.integer) else "%10.5g"
+        g = self.g
+        bold = "\033[31m"   # ghost cells: red, matching the reference
+        reset = "\033[0m"
+        for j in reversed(range(g.qy)):
+            row = []
+            for i in range(g.qx):
+                cell = fmt % a[i, j]
+                interior = (g.ilo <= i <= g.ihi) and (g.jlo <= j <= g.jhi)
+                row.append(cell if interior else bold + cell + reset)
+            print(" ".join(row))
+        print("\n         ^ y\n         |\n         +---> x\n")
+
 
 class aifc(ai):
     """Face-centered variant: one extra point in direction `idir` (1=x, 2=y).

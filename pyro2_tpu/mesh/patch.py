@@ -230,6 +230,11 @@ class CellCenterData2d:
         fgrid = self.grid.fine_like(2)
         return prolong_array(self.get_var(varname), self.grid, fgrid)
 
+    def pretty_print(self, varname, fmt=None):
+        """Print one variable with ghost cells marked (reference
+        patch.py:736-741)."""
+        ai(self.get_var(varname), self.grid).pretty_print(fmt=fmt)
+
     # -- I/O ----------------------------------------------------------------
     def write(self, filename):
         """Write grid + state to an HDF5 file (reference-compatible layout)."""
