@@ -279,3 +279,47 @@ class TestFusedPallasCycle:
         finally:
             MG._FORCE_PALLAS_INTERPRET = False
             MG._CYCLE_CACHE.clear()
+
+
+class TestMGExamples:
+    """The reference's multigrid/examples/ scripts double as regression
+    tests (reference test.py:136-157); run the newly-added ones at small N."""
+
+    def test_general_constant(self):
+        from pyro2_tpu.multigrid.examples.mg_test_general_constant import \
+            test_general_poisson_constant
+        assert test_general_poisson_constant(32) < 1.5e-4
+
+    def test_general_beta_only(self):
+        from pyro2_tpu.multigrid.examples.mg_test_general_beta_only import \
+            test_general_poisson_beta_only
+        assert test_general_poisson_beta_only(32) < 2.0e-3
+
+    def test_general_alphabeta_only(self):
+        from pyro2_tpu.multigrid.examples.mg_test_general_alphabeta_only \
+            import test_general_poisson_alphabeta_only
+        assert test_general_poisson_alphabeta_only(32) < 2.0e-3
+
+    def test_general_dirichlet_all_terms(self):
+        from pyro2_tpu.multigrid.examples.mg_test_general_dirichlet import \
+            test_general_poisson_dirichlet
+        assert test_general_poisson_dirichlet(32) < 2.0e-3
+
+    def test_vc_constant(self):
+        from pyro2_tpu.multigrid.examples.mg_test_vc_constant import \
+            test_vc_poisson_constant
+        assert test_vc_poisson_constant(32) < 1.5e-4
+
+    def test_project_periodic(self):
+        """Each approximate projection shrinks the divergence."""
+        from pyro2_tpu.multigrid.examples.project_periodic import doit
+        import os
+        import tempfile
+        cwd = os.getcwd()
+        with tempfile.TemporaryDirectory() as d:
+            os.chdir(d)
+            try:
+                dn = doit(32, 32, nproj=2)
+            finally:
+                os.chdir(cwd)
+        assert dn[1] < 0.2 * dn[0], dn
