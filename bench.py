@@ -21,6 +21,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 import importlib
 import json
+import os
 import sys
 import time
 
@@ -29,6 +30,13 @@ import jax.numpy as jnp
 
 N = 1024
 NSTEPS = 20
+
+_T0 = time.time()
+
+
+def _log(m):
+    print(f"[bench {time.time() - _T0:7.1f}s] {m}", file=sys.stderr,
+          flush=True)
 
 
 def build_step():

@@ -165,3 +165,112 @@ def make_pallas_ctu_step(nx, ny, dx, dy, gamma, rp_params, ivars,
             rows[:, :, NG:NG + ny])
 
     return step
+
+
+# -- persistent padded-layout variant ---------------------------------------
+#
+# make_pallas_ctu_step pads the lane axis and re-embeds the interior on the
+# host side of every step: a full lax.pad copy in and a full .at[].set copy
+# out -- two extra HBM round trips per step on top of the kernel's one.
+# The variant below keeps the state PERMANENTLY in a kernel-friendly layout
+#     (nvar, nx + 2*NGX, qy_pad),  NGX = 8 ghost rows, qy_pad lane-aligned,
+# so a step is: cheap strip-copy periodic ghost fill (4 dynamic-update-
+# slices) + ONE pallas_call whose programs DMA their row band in and DMA
+# their updated interior rows back out at an 8-aligned sublane offset.
+# Nothing else touches HBM.  Ghost rows of the output are left unwritten;
+# the next fill() overwrites them from interior rows before anything reads
+# them.  Arithmetic is the same _local_step_fn pipeline, so interior results
+# stay bitwise identical to the jnp step (validated in tests/test_pallas_tpu).
+
+NGX = 8   # x ghost rows in the padded layout (stencil uses NG=4; 8 keeps
+          # every DMA sublane offset a multiple of the f32 tile height)
+
+
+def make_pallas_ctu_step_padded(nx, ny, dx, dy, gamma, rp_params, ivars,
+                                tile_rows=128, interpret=False):
+    """Periodic-BC CTU stepping on a persistent padded state layout.
+
+    Returns (to_padded, from_padded, fill, step):
+      to_padded(U)   -- (nvar, nx+2NG, ny+2NG) -> padded layout
+      from_padded(P) -- inverse (ghost content carried through)
+      fill(P)        -- periodic ghost fill, strip copies only
+      step(P, dt)    -- one CTU step; interior rows updated, ghosts stale
+    """
+    assert tile_rows % 8 == 0 and nx % tile_rows == 0
+    n_tiles = nx // tile_rows
+    nvar = ivars.nvar
+    qy = ny + 2 * NG
+    qy_pad = -(-qy // 128) * 128
+    ny_eff = qy_pad - 2 * NG
+    qxp = nx + 2 * NGX
+
+    local_step, _g = _local_step_fn(tile_rows, ny_eff, dx, dy, gamma,
+                                    rp_params, ivars)
+
+    band_in = tile_rows + 2 * NGX   # aligned read: rows [i*T, i*T+T+16)
+
+    def kernel(dt_ref, U_hbm, out_hbm, band_vmem, res_vmem, sem_in, sem_out):
+        i = pl.program_id(0)
+        start = pl.multiple_of(i * tile_rows, 8)
+        cp = pltpu.make_async_copy(
+            U_hbm.at[:, pl.ds(start, band_in), :], band_vmem, sem_in)
+        cp.start()
+        cp.wait()
+        # the stencil band (NG halos) sits at rows [NGX-NG, NGX+T+NG) of
+        # the aligned read
+        U_loc = band_vmem[:, NGX - NG:NGX + tile_rows + NG, :]
+        res_vmem[...] = local_step(U_loc, dt_ref[0])
+        wstart = pl.multiple_of(NGX + i * tile_rows, 8)
+        cpo = pltpu.make_async_copy(
+            res_vmem, out_hbm.at[:, pl.ds(wstart, tile_rows), :], sem_out)
+        cpo.start()
+        cpo.wait()
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((nvar, band_in, qy_pad), jnp.float32),
+            pltpu.VMEM((nvar, tile_rows, qy_pad), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+
+    pallas_step = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((nvar, qxp, qy_pad), jnp.float32),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+    @jax.jit
+    def step(P, dt):
+        return pallas_step(jnp.asarray([dt], jnp.float32), P)
+
+    @jax.jit
+    def fill(P):
+        # lane (y) periodic ghosts first -- all rows, so the row copies
+        # below carry complete lane-filled strips into the x ghosts
+        P = P.at[:, :, 0:NG].set(P[:, :, ny:ny + NG])
+        P = P.at[:, :, NG + ny:2 * NG + ny].set(P[:, :, NG:2 * NG])
+        # row (x) periodic ghosts, full lane width
+        P = P.at[:, 0:NGX, :].set(P[:, nx:nx + NGX, :])
+        P = P.at[:, NGX + nx:, :].set(P[:, NGX:2 * NGX, :])
+        return P
+
+    @jax.jit
+    def to_padded(U):
+        P = jnp.zeros((nvar, qxp, qy_pad), jnp.float32)
+        return P.at[:, NGX - NG:NGX + nx + NG, :qy].set(
+            U.astype(jnp.float32))
+
+    @jax.jit
+    def from_padded(P):
+        return P[:, NGX - NG:NGX + nx + NG, :qy]
+
+    return to_padded, from_padded, fill, step

@@ -51,3 +51,47 @@ def test_ctu_kernel_bitwise_vs_jnp(tile_rows):
 
     ng = myg.ng
     assert bool(jnp.all(ref[:, ng:-ng, ng:-ng] == got[:, ng:-ng, ng:-ng]))
+
+
+def test_ctu_padded_layout_bitwise_vs_jnp():
+    """The persistent padded-layout step (strip-copy fill + one kernel)
+    must match the jnp step bitwise on the interior, including its own
+    periodic ghost fill."""
+    from pyro2_tpu import Pyro
+    from pyro2_tpu.solvers.compressible.pallas_step import \
+        make_pallas_ctu_step_padded
+
+    N = 256
+    p = Pyro("compressible")
+    p.initialize_problem("kh", inputs_dict={
+        "mesh.nx": N, "mesh.ny": N,
+        "mesh.xlboundary": "periodic", "mesh.xrboundary": "periodic",
+        "mesh.ylboundary": "periodic", "mesh.yrboundary": "periodic",
+        "compressible.small_dens": -1.e30,
+        "driver.verbose": 0, "vis.dovis": 0, "io.do_io": 0})
+    sim, rp = p.sim, p.rp
+
+    myg = sim.cc_data.grid
+    fill_ref = sim.cc_data.fill_bc_stack
+    U0 = sim.cc_data.data.astype(jnp.float32)
+    sim.cc_data.fill_BC_all()
+    sim.method_compute_timestep()
+    dt = jnp.asarray(sim.dt, jnp.float32)
+
+    step_ref = jax.jit(sim._make_step())
+    ng = myg.ng
+
+    to_p, from_p, fill_p, step_p = make_pallas_ctu_step_padded(
+        N, N, myg.dx, myg.dy, rp.get_param("eos.gamma"),
+        rp.params, sim.ivars, tile_rows=128)
+
+    # two full steps (fill + step), so the second step consumes ghosts
+    # produced by the padded fill itself
+    U = U0
+    P = to_p(U0)
+    for _ in range(2):
+        U = step_ref(fill_ref(U), jnp.asarray(0.0, U.dtype), dt)
+        P = step_p(fill_p(P), dt)
+
+    got = from_p(P)
+    assert bool(jnp.all(U[:, ng:-ng, ng:-ng] == got[:, ng:-ng, ng:-ng]))
