@@ -43,7 +43,6 @@ def build_step():
     from pyro2_tpu.solvers import compressible
     from pyro2_tpu.util.runparams import RuntimeParameters
 
-    import os
     home = os.path.join(os.path.dirname(os.path.realpath(__file__)),
                         "pyro2_tpu")
     rp = RuntimeParameters()
@@ -68,26 +67,32 @@ def build_step():
     fill = sim.cc_data.fill_bc_stack
 
     # the fused Pallas row-band kernel (bitwise-identical to the jnp step
-    # on the interior) is ~1.9x faster on TPU; fall back to the jnp step
-    # if Mosaic can't compile on this backend (e.g. CPU)
-    pallas_step = None
+    # on the interior) is ~1.9x faster on TPU; the persistent padded-layout
+    # variant additionally keeps the state in the kernel layout across the
+    # whole scan (strip-copy ghost fill, no per-step re-embedding copies).
+    # Fall back to the jnp step if Mosaic can't compile on this backend.
+    padded = None
     if jax.default_backend() != "cpu":
         try:
             from pyro2_tpu.solvers.compressible.pallas_step import \
-                make_pallas_ctu_step
+                make_pallas_ctu_step_padded
             myg = sim.cc_data.grid
-            pallas_step = make_pallas_ctu_step(
+            padded = make_pallas_ctu_step_padded(
                 N, N, myg.dx, myg.dy, rp.get_param("eos.gamma"),
                 rp.params, sim.ivars, tile_rows=128)
         except Exception:
-            pallas_step = None
+            padded = None
 
-    if pallas_step is not None:
+    if padded is not None:
+        to_padded, from_padded, fill_p, step_p = padded
+
         def many_steps(U, dt):
-            def body(U, _):
-                return pallas_step(fill(U), dt), None
-            U, _ = jax.lax.scan(body, U, None, length=NSTEPS)
-            return U
+            P = to_padded(U)
+
+            def body(P, _):
+                return step_p(fill_p(P), dt), None
+            P, _ = jax.lax.scan(body, P, None, length=NSTEPS)
+            return from_padded(fill_p(P))
     else:
         step = sim._make_step()
 
@@ -106,6 +111,7 @@ def build_step():
 
 
 def bench_ours():
+    _log("building the compressible CTU step")
     sim, many_steps = build_step()
     U0 = sim.cc_data.data
     sim.cc_data.fill_BC_all()
@@ -113,11 +119,14 @@ def bench_ours():
     dt = jnp.asarray(sim.dt, U0.dtype)
 
     # warmup/compile
+    _log("compiling + warmup")
     out = many_steps(U0, dt)
     jax.block_until_ready(out)
 
+    _log("timing")
     elapsed = min(_timed(many_steps, U0, dt) for _ in range(3))
     zups = N * N * NSTEPS / elapsed
+    _log(f"{zups:.3e} zones/s ({1e3 * elapsed / NSTEPS:.2f} ms/step)")
     return zups, elapsed
 
 

@@ -192,9 +192,20 @@ def make_pallas_ctu_step_padded(nx, ny, dx, dy, gamma, rp_params, ivars,
 
     Returns (to_padded, from_padded, fill, step):
       to_padded(U)   -- (nvar, nx+2NG, ny+2NG) -> padded layout
-      from_padded(P) -- inverse (ghost content carried through)
+      from_padded(P) -- inverse slice.  Ghost cells are only valid
+                        immediately after fill()/to_padded; after step()
+                        the x-ghost rows of the fresh output buffer are
+                        UNINITIALIZED memory (call fill() first if ghost
+                        content matters)
       fill(P)        -- periodic ghost fill, strip copies only
       step(P, dt)    -- one CTU step; interior rows updated, ghosts stale
+
+    Lane-pad columns [qy, qy_pad) are zero at to_padded time and are never
+    re-filled, so zero density there produces non-finite values in those
+    lanes inside the kernel.  This is harmless: the pipeline's total
+    stencil reach is <= NG columns, so pad-lane garbage can only reach the
+    y-ghost columns [NG+ny, qy), and fill() overwrites those from interior
+    lanes before every step -- no interior lane ever depends on a pad lane.
     """
     assert tile_rows % 8 == 0 and nx % tile_rows == 0
     n_tiles = nx // tile_rows

@@ -257,9 +257,12 @@ class Simulation(NullSimulation):
         iv_sl = (slice(myg.ilo, myg.ihi + 1), slice(myg.jlo, myg.jhi + 1))
 
         def step(U, t, dt):
-            # density floor (clean_state)
+            # density floor (clean_state).  The reference sentinel default
+            # (-1e200) exceeds f32 range; clamp to the state dtype's finfo
+            # min so the cast is exact (same semantics, no overflow warn).
+            floor = max(small_dens, float(jnp.finfo(U.dtype).min))
             U = U.at[(ivars.idens,) + iv_sl].set(
-                jnp.maximum(U[(ivars.idens,) + iv_sl], small_dens))
+                jnp.maximum(U[(ivars.idens,) + iv_sl], floor))
 
             U_xl, U_xr, U_yl, U_yr = flx.interface_states(
                 U, my_data, rp, ivars, tc, dt)
@@ -377,7 +380,8 @@ class Simulation(NullSimulation):
         g = self.cc_data.grid
         sl = (self.ivars.idens, slice(g.ilo, g.ihi + 1),
               slice(g.jlo, g.jhi + 1))
-        return U.at[sl].set(jnp.maximum(U[sl], small_dens))
+        floor = max(small_dens, float(jnp.finfo(U.dtype).min))
+        return U.at[sl].set(jnp.maximum(U[sl], floor))
 
     def dovis(self):
         """Runtime visualization: rho, |U|, p, e."""
