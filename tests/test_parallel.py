@@ -249,6 +249,155 @@ class TestShardedMG:
         assert err < 3.0e-5, err
 
 
+class TestShardedVarCoeffMG:
+    """Block-partitioned variable-coefficient MG: partition invariance vs
+    the serial VarCoeffCCMG2d, plus the analytic vc-Poisson oracle
+    (reference multigrid/examples/mg_test_vc_dirichlet.py)."""
+
+    def _setup(self, N):
+        import pyro2_tpu.mesh.boundary as bnd
+        from pyro2_tpu.mesh.grid import Grid2d
+
+        g = Grid2d(N, N, ng=1)
+        bc_c = bnd.BC(xlb="neumann", xrb="neumann",
+                      ylb="neumann", yrb="neumann")
+        eta = 2.0 + np.cos(2 * np.pi * g.x2d) * np.cos(2 * np.pi * g.y2d)
+        f = (-16.0 * np.pi ** 2 *
+             (np.cos(2 * np.pi * g.x2d) * np.cos(2 * np.pi * g.y2d) + 1) *
+             np.sin(2 * np.pi * g.x2d) * np.sin(2 * np.pi * g.y2d))
+        true = np.sin(2 * np.pi * g.x2d) * np.sin(2 * np.pi * g.y2d)
+        return g, jnp.asarray(eta), bc_c, jnp.asarray(f), true
+
+    @pytest.mark.parametrize("shape", [(2, 4), (1, 8)])
+    def test_partition_invariance(self, shape):
+        from pyro2_tpu.multigrid.variable_coeff_MG import VarCoeffCCMG2d
+        from pyro2_tpu.parallel.sharded_mg import ShardedVarCoeffMG
+
+        N = 64
+        g, eta, bc_c, f, true = self._setup(N)
+        mesh = make_mesh(shape=shape)
+
+        smg = ShardedVarCoeffMG(N, N, mesh, coeffs=eta, coeffs_bc=bc_c)
+        smg.init_zeros()
+        smg.init_RHS(f)
+        smg.solve(rtol=1e-11)
+
+        ser = VarCoeffCCMG2d(N, N, coeffs=eta, coeffs_bc=bc_c, verbose=0)
+        ser.init_zeros()
+        ser.init_RHS(f)
+        ser.solve(rtol=1e-11)
+
+        assert smg.num_cycles == ser.num_cycles
+        v_ser = np.asarray(ser.get_solution())[g.ilo:g.ihi + 1,
+                                               g.jlo:g.jhi + 1]
+        v_sh = np.asarray(smg.get_solution())
+        scale = max(1.0, np.abs(v_ser).max())
+        assert np.max(np.abs(v_sh - v_ser)) < 1e-12 * scale
+
+        # analytic oracle: truncation error at 64^2 (serial example: ~7e-4)
+        err = float(np.sqrt(g.dx * g.dy * np.sum(
+            (v_sh - true[g.ilo:g.ihi + 1, g.jlo:g.jhi + 1]) ** 2)))
+        assert err < 2.0e-3, err
+
+    def test_periodic_partition_invariance(self):
+        from pyro2_tpu.multigrid.variable_coeff_MG import VarCoeffCCMG2d
+        from pyro2_tpu.parallel.sharded_mg import ShardedVarCoeffMG
+        import pyro2_tpu.mesh.boundary as bnd
+        from pyro2_tpu.mesh.grid import Grid2d
+
+        N = 32
+        g = Grid2d(N, N, ng=1)
+        bc_c = bnd.BC(xlb="periodic", xrb="periodic",
+                      ylb="periodic", yrb="periodic")
+        eta = 2.0 + np.cos(2 * np.pi * g.x2d) * np.cos(2 * np.pi * g.y2d)
+        # mean-zero RHS for the periodic problem
+        f = (-16.0 * np.pi ** 2 *
+             (np.cos(2 * np.pi * g.x2d) * np.cos(2 * np.pi * g.y2d) + 1) *
+             np.sin(2 * np.pi * g.x2d) * np.sin(2 * np.pi * g.y2d))
+        kw = dict(xl_BC_type="periodic", xr_BC_type="periodic",
+                  yl_BC_type="periodic", yr_BC_type="periodic")
+
+        mesh = make_mesh(shape=(2, 4))
+        smg = ShardedVarCoeffMG(N, N, mesh, coeffs=jnp.asarray(eta),
+                                coeffs_bc=bc_c, **kw)
+        smg.init_zeros()
+        smg.init_RHS(jnp.asarray(f))
+        smg.solve(rtol=1e-11)
+
+        ser = VarCoeffCCMG2d(N, N, coeffs=jnp.asarray(eta),
+                             coeffs_bc=bc_c, verbose=0, **kw)
+        ser.init_zeros()
+        ser.init_RHS(jnp.asarray(f))
+        ser.solve(rtol=1e-11)
+
+        v_ser = np.asarray(ser.get_solution())[g.ilo:g.ihi + 1,
+                                               g.jlo:g.jhi + 1]
+        v_sh = np.asarray(smg.get_solution())
+        scale = max(1.0, np.abs(v_ser).max())
+        assert np.max(np.abs(v_sh - v_ser)) < 1e-12 * scale
+
+
+class TestShardedGeneralMG:
+    """Block-partitioned general-form MG: partition invariance vs the
+    serial GeneralMG2d (reference multigrid/examples/
+    mg_test_general_dirichlet.py setup)."""
+
+    def test_partition_invariance(self):
+        import pyro2_tpu.mesh.boundary as bnd
+        from pyro2_tpu.mesh import patch
+        from pyro2_tpu.mesh.grid import Grid2d
+        from pyro2_tpu.multigrid.general_MG import GeneralMG2d
+        from pyro2_tpu.parallel.sharded_mg import ShardedGeneralMG
+
+        N = 64
+        g = Grid2d(N, N, ng=1)
+
+        def make_coeffs():
+            d = patch.CellCenterData2d(g)
+            bc_c = bnd.BC(xlb="neumann", xrb="neumann",
+                          ylb="neumann", yrb="neumann")
+            for name in ["alpha", "beta", "gamma_x", "gamma_y"]:
+                d.register_var(name, bc_c)
+            d.create()
+            d.set_var("alpha", jnp.ones((g.qx, g.qy)))
+            d.set_var("beta", jnp.asarray(
+                2.0 + np.cos(2 * np.pi * g.x2d) * np.cos(2 * np.pi * g.y2d)))
+            d.set_var("gamma_x", jnp.asarray(np.sin(2 * np.pi * g.x2d)))
+            d.set_var("gamma_y", jnp.asarray(np.sin(2 * np.pi * g.y2d)))
+            return d
+
+        f = ((-16.0 * np.pi ** 2 * np.cos(2 * np.pi * g.x2d) *
+              np.cos(2 * np.pi * g.y2d) +
+              2.0 * np.pi * np.cos(2 * np.pi * g.x2d) +
+              2.0 * np.pi * np.cos(2 * np.pi * g.y2d) -
+              16.0 * np.pi ** 2 + 1.0) *
+             np.sin(2 * np.pi * g.x2d) * np.sin(2 * np.pi * g.y2d))
+        true = np.sin(2 * np.pi * g.x2d) * np.sin(2 * np.pi * g.y2d)
+
+        mesh = make_mesh(shape=(2, 4))
+        smg = ShardedGeneralMG(N, N, mesh, coeffs=make_coeffs())
+        smg.init_zeros()
+        smg.init_RHS(jnp.asarray(f))
+        smg.solve(rtol=1e-11)
+
+        ser = GeneralMG2d(N, N, coeffs=make_coeffs(), verbose=0)
+        ser.init_zeros()
+        ser.init_RHS(jnp.asarray(f))
+        ser.solve(rtol=1e-11)
+
+        assert smg.num_cycles == ser.num_cycles
+        v_ser = np.asarray(ser.get_solution())[g.ilo:g.ihi + 1,
+                                               g.jlo:g.jhi + 1]
+        v_sh = np.asarray(smg.get_solution())
+        scale = max(1.0, np.abs(v_ser).max())
+        assert np.max(np.abs(v_sh - v_ser)) < 1e-12 * scale
+
+        # analytic oracle (serial example L2 err ~1e-3 at 64^2)
+        err = float(np.sqrt(g.dx * g.dy * np.sum(
+            (v_sh - true[g.ilo:g.ihi + 1, g.jlo:g.jhi + 1]) ** 2)))
+        assert err < 3.0e-3, err
+
+
 class TestEnsemble:
     """Ensemble (vmap) parallelism: a batch of problems stepped together
     must match each problem stepped alone (to f64 roundoff; jit-of-vmap
