@@ -24,7 +24,13 @@ class Grid2d:
     """The 2-d grid: discretization only; BCs live with each variable."""
 
     def __init__(self, nx, ny, *, ng=1,
-                 xmin=0.0, xmax=1.0, ymin=0.0, ymax=1.0):
+                 xmin=0.0, xmax=1.0, ymin=0.0, ymax=1.0,
+                 _coord_shift=(0, 0), _domain_n=None):
+        """_coord_shift/_domain_n make a BLOCK grid: shape (nx, ny) but
+        coordinates of the window starting at interior cell _coord_shift of
+        a (_domain_n) global grid spanning [xmin,xmax]x[ymin,ymax] -- the
+        same float expressions as the global grid's, so block coordinates
+        are bitwise equal to the global window (see parallel/blocks.py)."""
         self.nx = int(nx)
         self.ny = int(ny)
         self.ng = int(ng)
@@ -47,15 +53,21 @@ class Grid2d:
         self.ic = self.ilo + self.nx // 2 - 1
         self.jc = self.jlo + self.ny // 2 - 1
 
-        self.dx = (self.xmax - self.xmin) / self.nx
-        self.dy = (self.ymax - self.ymin) / self.ny
+        dn_x, dn_y = _domain_n if _domain_n is not None else (self.nx,
+                                                              self.ny)
+        self._coord_shift = (int(_coord_shift[0]), int(_coord_shift[1]))
+        self._domain_n = (int(dn_x), int(dn_y))
+        sx, sy = self._coord_shift
+
+        self.dx = (self.xmax - self.xmin) / dn_x
+        self.dy = (self.ymax - self.ymin) / dn_y
 
         # 1-d coordinates at left edge / center / right edge, incl. ghosts
-        self.xl = (np.arange(self.qx) - self.ng) * self.dx + self.xmin
+        self.xl = (np.arange(self.qx) + sx - self.ng) * self.dx + self.xmin
         self.xr = self.xl + self.dx
         self.x = 0.5 * (self.xl + self.xr)
 
-        self.yl = (np.arange(self.qy) - self.ng) * self.dy + self.ymin
+        self.yl = (np.arange(self.qy) + sy - self.ng) * self.dy + self.ymin
         self.yr = self.yl + self.dy
         self.y = 0.5 * (self.yl + self.yr)
 
@@ -96,7 +108,8 @@ class Grid2d:
     # -- structural identity (grids are static/hashable for jit closures) ---
     def _key(self):
         return (self.nx, self.ny, self.ng,
-                self.xmin, self.xmax, self.ymin, self.ymax)
+                self.xmin, self.xmax, self.ymin, self.ymax,
+                self._coord_shift, self._domain_n)
 
     def __eq__(self, other):
         return isinstance(other, Grid2d) and self._key() == other._key()
@@ -114,9 +127,11 @@ class Cartesian2d(Grid2d):
     coord_type = 0
 
     def __init__(self, nx, ny, *, ng=1,
-                 xmin=0.0, xmax=1.0, ymin=0.0, ymax=1.0):
+                 xmin=0.0, xmax=1.0, ymin=0.0, ymax=1.0,
+                 _coord_shift=(0, 0), _domain_n=None):
         super().__init__(nx, ny, ng=ng, xmin=xmin, xmax=xmax,
-                         ymin=ymin, ymax=ymax)
+                         ymin=ymin, ymax=ymax,
+                         _coord_shift=_coord_shift, _domain_n=_domain_n)
 
         shape = (self.qx, self.qy)
         self.Lx = np.full(shape, self.dx)
@@ -144,9 +159,11 @@ class SphericalPolar(Grid2d):
     coord_type = 1
 
     def __init__(self, nx, ny, *, ng=1,
-                 xmin=0.2, xmax=1.0, ymin=0.0, ymax=1.0):
+                 xmin=0.2, xmax=1.0, ymin=0.0, ymax=1.0,
+                 _coord_shift=(0, 0), _domain_n=None):
         super().__init__(nx, ny, ng=ng, xmin=xmin, xmax=xmax,
-                         ymin=ymin, ymax=ymax)
+                         ymin=ymin, ymax=ymax,
+                         _coord_shift=_coord_shift, _domain_n=_domain_n)
 
         assert ymin >= 0.0 and ymax <= np.pi, \
             "y (theta) must lie within [0, pi]"

@@ -4,16 +4,26 @@ The single-block solver kernels are ghost-cell-oblivious above the fill
 (like every reference solver above fill_BC), so the SPMD step is: shard the
 global interior over the mesh -> pad each block -> halo_exchange (ppermute +
 edge-block physical fills) -> run the SAME single-block step on the local
-padded block -> return the updated interior.  dt reduces with lax.pmin.
+padded block -> return the updated interior.
 
-Supported solvers: "compressible" (CTU, step(U, t, dt)) and "swe"
-(CTU, step(U, dt)); both follow the same pure-jitted-step contract
-(Simulation._make_step).  The reference has no counterpart for any of
-this (SURVEY.md section 2.9).
+Self-sufficiency (nothing global is ever materialized):
 
-Limitations (round 1): standard BC types only (no hse/ambient/ramp in the
-sharded path), and solid-wall Riemann clamping is disabled when an axis is
-split (the clamp indices are block-local); periodic/outflow flows are exact.
+* problem ICs are evaluated block-by-block on bitwise-global block grids
+  (parallel/blocks.py);
+* dt is the solver's CFL rule on each block reduced with `lax.pmin`
+  (bitwise equal to the serial global min);
+* solid-wall Riemann clamps are BLOCK-LOCAL: the static domain-interface
+  mask is gated per block by `lax.axis_index`, so only blocks owning a
+  domain boundary clamp (compressible/riemann.py `_solid_mask`).
+
+Supported solvers: "compressible" and "swe" -- both expose the pure jitted
+step contract step(U, t, dt) (Simulation._make_step).  The reference has no
+counterpart for any of this (SURVEY.md section 2.9).
+
+Limitations: standard BC types only; the user-extended BCs (hse / ambient /
+ramp / moving_lid) are rejected at construction (they would silently
+mis-fill block seams), as is a grid that does not divide evenly over the
+mesh.
 """
 
 import importlib
@@ -22,21 +32,28 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
+from pyro2_tpu.parallel.blocks import blockwise_init_interior
 from pyro2_tpu.parallel.mesh_comm import halo_exchange
 from pyro2_tpu.util import profile_pyro
 
 __all__ = ["ShardedSim", "ShardedCompressible", "ShardedSWE",
            "make_sharded_compressible_step"]
 
+_SUPPORTED_BCS = frozenset(
+    ["outflow", "neumann", "dirichlet", "reflect", "reflect-odd",
+     "reflect-even", "periodic"])
 
-class _Solid:
-    """Solid-wall flags, disabled on split axes (see module docstring)."""
 
-    def __init__(self, base, px, py):
-        self.xl = base.xl if px == 1 else 0
-        self.xr = base.xr if px == 1 else 0
-        self.yl = base.yl if py == 1 else 0
-        self.yr = base.yr if py == 1 else 0
+class _TracedSolid:
+    """Solid-wall flags holder whose attributes are set to traced
+    block-gated values inside the shard_map body (before the local step
+    traces), so only domain-edge blocks apply the Riemann wall clamp."""
+
+    def __init__(self, base):
+        self.xl = base.xl
+        self.xr = base.xr
+        self.yl = base.yl
+        self.yr = base.yr
 
 
 class ShardedSim:
@@ -47,107 +64,176 @@ class ShardedSim:
     replaces the driver-level ghost fill.
     """
 
-    #: solver name -> does the jitted step take the time argument?
-    _STEP_TAKES_T = {"compressible": True, "swe": False}
+    _SOLVERS = ("compressible", "swe")
 
     def __init__(self, solver, rp, mesh, *, problem="test", ng=4):
-        if solver not in self._STEP_TAKES_T:
+        if solver not in self._SOLVERS:
             raise ValueError(
-                f"solver '{solver}' has no sharded step adapter "
-                f"(supported: {sorted(self._STEP_TAKES_T)})")
+                f"solver '{solver}' has no sharded step "
+                f"(supported: {sorted(self._SOLVERS)})")
         self.solver = solver
-        self._takes_t = self._STEP_TAKES_T[solver]
         solver_mod = importlib.import_module(f"pyro2_tpu.solvers.{solver}")
+        self._solver_mod = solver_mod
+        self.rp = rp
+        self.problem = problem
+        self._problem_mod = importlib.import_module(
+            f"pyro2_tpu.solvers.{solver}.problems.{problem}")
 
         self.mesh = mesh
-        self.px = mesh.devices.shape[0]
-        self.py = mesh.devices.shape[1]
+        self.px = int(mesh.devices.shape[0])
+        self.py = int(mesh.devices.shape[1])
 
         nx = rp.get_param("mesh.nx")
         ny = rp.get_param("mesh.ny")
-        assert nx % self.px == 0 and ny % self.py == 0, \
-            "grid must divide evenly over the device mesh"
+        if nx % self.px != 0 or ny % self.py != 0:
+            raise ValueError("grid must divide evenly over the device mesh")
         self.nx, self.ny = nx, ny
         bx, by = nx // self.px, ny // self.py
 
-        # the GLOBAL grid/problem (for ICs and dt) ...
-        problem_mod = importlib.import_module(
-            f"pyro2_tpu.solvers.{solver}.problems.{problem}")
-        self.global_sim = solver_mod.Simulation(
-            solver, problem, problem_mod.init_data, rp)
-        self.global_sim.initialize(ng=ng)
+        for edge in ("xl", "xr", "yl", "yr"):
+            b = rp.get_param(f"mesh.{edge}boundary")
+            if b not in _SUPPORTED_BCS:
+                raise ValueError(
+                    f"boundary '{b}' is not supported by the sharded path "
+                    "(user-extended BCs would silently mis-fill block "
+                    "seams)")
 
-        # ... and a block-LOCAL simulation whose jitted step becomes the
-        # shard_map body.  Block physical extents don't matter beyond dx/dy
-        # (Cartesian factors are uniform).
+        # a block-LOCAL simulation whose jitted step becomes the shard_map
+        # body.  Its problem init is a no-op (real ICs are per-block on
+        # bitwise-global block grids); block physical extents only matter
+        # through dx/dy (Cartesian factors are uniform).
         local_rp = _clone_rp(rp)
         local_rp.set_param("mesh.nx", bx)
         local_rp.set_param("mesh.ny", by)
-        gg = self.global_sim.cc_data.grid
-        local_rp.set_param("mesh.xmax",
-                           gg.xmin + (gg.xmax - gg.xmin) / self.px)
-        local_rp.set_param("mesh.ymax",
-                           gg.ymin + (gg.ymax - gg.ymin) / self.py)
+        xmin = rp.get_param("mesh.xmin")
+        xmax = rp.get_param("mesh.xmax")
+        ymin = rp.get_param("mesh.ymin")
+        ymax = rp.get_param("mesh.ymax")
+        local_rp.set_param("mesh.xmax", xmin + (xmax - xmin) * bx / nx)
+        local_rp.set_param("mesh.ymax", ymin + (ymax - ymin) * by / ny)
         self.local_sim = solver_mod.Simulation(
-            solver, problem, problem_mod.init_data, local_rp)
+            solver, problem, lambda d, r: None, local_rp)
         self.local_sim.initialize(ng=ng)
-        self.local_sim.solid = _Solid(self.local_sim.solid, self.px, self.py)
+        self._base_solid = self.local_sim.solid
+        self._traced_solid = _TracedSolid(self._base_solid)
+        self.local_sim.solid = self._traced_solid
+        self._traced_edges = None
+        if hasattr(self.local_sim, "domain_edges"):
+            self._traced_edges = self.local_sim.domain_edges
         self.local_sim.tc = profile_pyro.TimerCollection()
 
         self.local_grid = self.local_sim.cc_data.grid
-        self.bcs = [self.global_sim.cc_data.BCs[n]
-                    for n in self.global_sim.cc_data.names]
+        self.names = list(self.local_sim.cc_data.names)
+        self.bcs = [self.local_sim.cc_data.BCs[n] for n in self.names]
         self.nvar = len(self.bcs)
         self.ng = ng
 
         self._step = self._build()
+        self._dt_fn = self._build_dt()
+        self._global_sim = None
+
+    def _gate_solid(self):
+        """Point the traced-solid holder at block-gated flags (called
+        inside the shard_map body, before the local step traces)."""
+        ix = jax.lax.axis_index("x")
+        iy = jax.lax.axis_index("y")
+        base = self._base_solid
+        ts = self._traced_solid
+        one = jnp.asarray(1, jnp.int32)
+        # statically-open walls stay static ints (keeps the no-clamp fast
+        # path and Pallas eligibility); solid walls become block-gated
+        ts.xl = jnp.where(ix == 0, one, 0) if base.xl else 0
+        ts.xr = jnp.where(ix == self.px - 1, one, 0) if base.xr else 0
+        ts.yl = jnp.where(iy == 0, one, 0) if base.yl else 0
+        ts.yr = jnp.where(iy == self.py - 1, one, 0) if base.yr else 0
+        if self._traced_edges is not None:
+            # domain-edge flags for window-semantics masking (avisc):
+            # gated for EVERY BC type, since the reference zeroes avisc
+            # outside the global interior window regardless of BC
+            es = self._traced_edges
+            es.xl = jnp.where(ix == 0, one, 0)
+            es.xr = jnp.where(ix == self.px - 1, one, 0)
+            es.yl = jnp.where(iy == 0, one, 0)
+            es.yr = jnp.where(iy == self.py - 1, one, 0)
+
+    def _fill_local(self, U):
+        """Per-variable halo exchange of a local padded stack (BCs differ
+        by variable)."""
+        g = self.local_grid
+        return jnp.stack([halo_exchange(U[n], g, self.bcs[n],
+                                        self.px, self.py)
+                          for n in range(self.nvar)])
 
     def _build(self):
-        g = self.local_grid
         ng = self.ng
-        px, py = self.px, self.py
-        bcs = self.bcs
-        takes_t = self._takes_t
-        # rebuild the step with the adjusted solid flags
+        # the step traces with the traced-solid holder installed
         local_step = self.local_sim._make_step()
 
         def body(U_int, t, dt):
-            # pad the local interior with ghosts
             pad = [(0, 0)] * U_int.ndim
             pad[-2] = (ng, ng)
             pad[-1] = (ng, ng)
-            U = jnp.pad(U_int, pad)
-
-            # per-variable halo exchange (BCs differ by variable)
-            filled = [halo_exchange(U[n], g, bcs[n], px, py)
-                      for n in range(self.nvar)]
-            U = jnp.stack(filled)
-
-            U = local_step(U, t, dt) if takes_t else local_step(U, dt)
+            U = self._fill_local(jnp.pad(U_int, pad))
+            self._gate_solid()
+            U = local_step(U, t, dt)
             return U[..., ng:-ng, ng:-ng]
 
-        mesh = self.mesh
         spec = P(None, "x", "y")
         body_sharded = jax.shard_map(
-            body, mesh=mesh,
+            body, mesh=self.mesh,
             in_specs=(spec, P(), P()),
             out_specs=spec)
         return jax.jit(body_sharded)
 
+    def _build_dt(self):
+        local_dt = self.local_sim._make_dt()
+        ng = self.ng
+
+        def body(U_int):
+            pad = [(0, 0)] * U_int.ndim
+            pad[-2] = (ng, ng)
+            pad[-1] = (ng, ng)
+            U = self._fill_local(jnp.pad(U_int, pad))
+            d = local_dt(U)
+            return jax.lax.pmin(jax.lax.pmin(d, "x"), "y")
+
+        spec = P(None, "x", "y")
+        body_sharded = jax.shard_map(body, mesh=self.mesh,
+                                     in_specs=spec, out_specs=P())
+        return jax.jit(body_sharded)
+
     # -- public API ---------------------------------------------------------
+    def init_interior(self):
+        """The (nvar, nx, ny) problem ICs, initialized block-by-block and
+        sharded over the mesh (no global materialization)."""
+        return blockwise_init_interior(self.local_sim.cc_data,
+                                       self._problem_mod.init_data,
+                                       self.rp, self.mesh)
+
+    @property
+    def global_sim(self):
+        """A GLOBAL serial Simulation on the same problem (built lazily;
+        used by partition-invariance tests, never by the sharded path)."""
+        if self._global_sim is None:
+            self._global_sim = self._solver_mod.Simulation(
+                self.solver, self.problem, self._problem_mod.init_data,
+                self.rp)
+            self._global_sim.initialize(ng=self.ng)
+        return self._global_sim
+
     def global_interior(self):
         """The (nvar, nx, ny) global interior, sharded over the mesh."""
-        gg = self.global_sim.cc_data.grid
-        U = self.global_sim.cc_data.data[:, gg.ilo:gg.ihi + 1,
-                                         gg.jlo:gg.jhi + 1]
+        gs = self.global_sim
+        gg = gs.cc_data.grid
+        U = gs.cc_data.data[:, gg.ilo:gg.ihi + 1, gg.jlo:gg.jhi + 1]
         sharding = NamedSharding(self.mesh, P(None, "x", "y"))
         return jax.device_put(U, sharding)
 
-    def compute_dt(self):
-        """The CFL dt (a global min; computed from the global state)."""
-        self.global_sim.cc_data.fill_BC_all()
-        self.global_sim.method_compute_timestep()
-        return self.global_sim.dt
+    def compute_dt(self, U_int):
+        """The CFL dt: block-local CFL minima reduced with lax.pmin
+        (bitwise equal to the serial global min)."""
+        cfl = self.rp.get_param("driver.cfl")
+        return cfl * float(self._dt_fn(U_int))
 
     def step(self, U_int, t, dt):
         """One sharded step on the (nvar, nx, ny) interior."""

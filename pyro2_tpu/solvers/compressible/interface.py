@@ -136,18 +136,60 @@ def states(idir, g, dxa, dloga, dt, ivars, gamma, qv, dqv):
     return q_l, q_r
 
 
-def artificial_viscosity(g, cvisc, u, v):
+def artificial_viscosity(g, cvisc, u, v, edges=None):
     """Colella-Woodward artificial viscosity coefficients (avisco_x/y).
 
     Vertex-centered div(U) (Cartesian or spherical, reference
     interface.py:239-378) averaged to faces; avisco = cvisc *
     max(-divU*L, 0).  Valid on the plain interior window (the reference
-    computes no viscosity on the domain's outermost high faces).
+    computes no viscosity on the domain's outermost high faces,
+    reference interface.py:366-376).
+
+    `edges` is an optional (xl, xr, yl, yr) tuple of domain-edge flags
+    (1 = this grid edge IS the physical domain boundary).  Under spatial
+    block partitioning a local grid edge is only a domain edge when the
+    block sits on the mesh boundary, so the sharded path passes
+    axis_index-gated TRACED flags: avisco is then computed on the full
+    halo-supported window and zeroed only outside the GLOBAL interior
+    window, which makes the seam faces bitwise partition-invariant.
+    None (or all statically 1) reproduces the serial behavior exactly.
     """
     uv = ai(u, g)
     vv = ai(v, g)
 
     import numpy as np
+
+    static_edges = edges is None or all(
+        isinstance(e, (int, np.integer)) and e == 1 for e in edges)
+    if not static_edges:
+        if getattr(g, "coord_type", 0) != 0:
+            raise NotImplementedError(
+                "block-gated avisc masking is Cartesian-only")
+        from pyro2_tpu.mesh.indexer import embed
+        # vertex divergence on the widest window the application
+        # (unsplit_fluxes buf=(2,1)) plus face averaging can reach;
+        # needs u,v at buf=3 which ng>=4 supplies
+        bw = 2
+        ur = 0.5 * (uv.v(buf=bw) + uv.jp(-1, buf=bw))
+        ul = 0.5 * (uv.ip(-1, buf=bw) + uv.ip_jp(-1, -1, buf=bw))
+        vt = 0.5 * (vv.v(buf=bw) + vv.ip(-1, buf=bw))
+        vb = 0.5 * (vv.jp(-1, buf=bw) + vv.ip_jp(-1, -1, buf=bw))
+        dv = ai(embed((ur - ul) / g.dx + (vt - vb) / g.dy, g, bw), g)
+        ba = (2, 1)
+        divU_x = 0.5 * (dv.v(buf=ba) + dv.jp(1, buf=ba))
+        divU_y = 0.5 * (dv.v(buf=ba) + dv.ip(1, buf=ba))
+        av_x = cvisc * jnp.maximum(-divU_x * jnp.asarray(g.dx), 0.0)
+        av_y = cvisc * jnp.maximum(-divU_y * jnp.asarray(g.dy), 0.0)
+        avx = embed(av_x, g, ba)
+        avy = embed(av_y, g, ba)
+        # zero outside the GLOBAL interior window: a side is clipped
+        # only when this block's edge is the domain boundary there
+        xl, xr, yl, yr = edges
+        ii = np.arange(avx.shape[0])[:, None]
+        jj = np.arange(avx.shape[1])[None, :]
+        keep = (((ii >= g.ilo) | (xl == 0)) & ((ii <= g.ihi) | (xr == 0)) &
+                ((jj >= g.jlo) | (yl == 0)) & ((jj <= g.jhi) | (yr == 0)))
+        return jnp.where(keep, avx, 0.0), jnp.where(keep, avy, 0.0)
 
     if getattr(g, "coord_type", 0) == 0:
         # vertex divergence on the buf=1 window

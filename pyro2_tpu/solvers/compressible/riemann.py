@@ -35,26 +35,30 @@ def _wslice(g, b=1):
 def _solid_mask(g, idir, lower_solid, upper_solid, shape):
     """1 where the interface normal velocity must be zeroed (solid walls).
 
-    Returns None when both walls are open (no clamp needed; also avoids a
-    captured constant mask inside Pallas kernels)."""
-    if lower_solid == 0 and upper_solid == 0:
-        return None
+    Returns None when both walls are statically open (no clamp needed;
+    also avoids a captured constant mask inside Pallas kernels).
+
+    The flags may also be TRACED 0/1 scalars: the sharded path gates the
+    domain-edge clamp per block with `axis_index` (only blocks owning a
+    domain boundary clamp), so the mask becomes a traced select."""
     import numpy as np
+    static = all(isinstance(s, (int, np.integer))
+                 for s in (lower_solid, upper_solid))
+    if static and lower_solid == 0 and upper_solid == 0:
+        return None
     i_idx = np.arange(g.ilo - 1, g.ihi + 2)
     j_idx = np.arange(g.jlo - 1, g.jhi + 2)
     if idir == 1:
-        m = np.zeros(len(i_idx), dtype=bool)
-        if lower_solid == 1:
-            m |= (i_idx == g.ilo)
-        if upper_solid == 1:
-            m |= (i_idx == g.ihi + 1)
-        return jnp.asarray(np.broadcast_to(m[:, None], shape))
-    m = np.zeros(len(j_idx), dtype=bool)
-    if lower_solid == 1:
-        m |= (j_idx == g.jlo)
-    if upper_solid == 1:
-        m |= (j_idx == g.jhi + 1)
-    return jnp.asarray(np.broadcast_to(m[None, :], shape))
+        lo = np.broadcast_to((i_idx == g.ilo)[:, None], shape)
+        hi = np.broadcast_to((i_idx == g.ihi + 1)[:, None], shape)
+    else:
+        lo = np.broadcast_to((j_idx == g.jlo)[None, :], shape)
+        hi = np.broadcast_to((j_idx == g.jhi + 1)[None, :], shape)
+    if static:
+        return jnp.asarray((lo & (lower_solid == 1)) |
+                           (hi & (upper_solid == 1)))
+    return ((jnp.asarray(lo) & (lower_solid == 1)) |
+            (jnp.asarray(hi) & (upper_solid == 1)))
 
 
 def _decompose(U, idir, ivars, gamma):

@@ -156,6 +156,19 @@ def get_sponge_factor(U, ivars, rp, myg):
     return f / tau
 
 
+class DomainEdges:
+    """Domain-edge flags (1 = this grid edge IS the physical domain
+    boundary).  Static 1s for a serial run; the sharded path swaps in
+    axis_index-gated traced flags (parallel/sharded.py) so avisc window
+    masking follows the GLOBAL domain under block partitioning."""
+
+    def __init__(self):
+        self.xl = 1
+        self.xr = 1
+        self.yl = 1
+        self.yr = 1
+
+
 class Simulation(NullSimulation):
     """The CTU compressible hydrodynamics solver."""
 
@@ -180,6 +193,7 @@ class Simulation(NullSimulation):
 
         bc, bc_xodd, bc_yodd = bc_setup(self.rp)
         self.solid = bnd.bc_is_solid(bc)
+        self.domain_edges = DomainEdges()
 
         my_data.register_var("density", bc)
         my_data.register_var("energy", bc)
@@ -246,6 +260,7 @@ class Simulation(NullSimulation):
         ivars = self.ivars
         gamma = rp.get_param("eos.gamma")
         solid = self.solid
+        edges = self.domain_edges
         tc = self.tc
         problem_source = self.problem_source
         small_dens = rp.get_param("compressible.small_dens")
@@ -290,8 +305,9 @@ class Simulation(NullSimulation):
                                            ivars, solid.yl, solid.yr, tc)
 
             q = cons_to_prim(U, gamma, ivars, myg)
-            F_x, F_y = flx.apply_artificial_viscosity(F_x, F_y, q, U,
-                                                      my_data, rp, ivars)
+            F_x, F_y = flx.apply_artificial_viscosity(
+                F_x, F_y, q, U, my_data, rp, ivars,
+                edges=(edges.xl, edges.xr, edges.yl, edges.yr))
 
             U_old = U
 

@@ -134,7 +134,10 @@ class Simulation(NullSimulation):
         iv_sl = (slice(None), slice(myg.ilo, myg.ihi + 1),
                  slice(myg.jlo, myg.jhi + 1))
 
-        def step(U, dt):
+        def step(U, t, dt):
+            # t is unused (no time-dependent sources in SWE) but kept so
+            # every solver's jitted step shares the (U, t, dt) contract
+            del t
             F_x, F_y = flx.unsplit_fluxes(U, my_data, rp, ivars, solid,
                                           tc, dt)
             dtdx = dt / myg.dx
@@ -157,7 +160,7 @@ class Simulation(NullSimulation):
         tm_evolve = self.tc.timer("evolve")
         tm_evolve.begin()
 
-        U = self._step(self.cc_data.data, self.dt)
+        U = self._step(self.cc_data.data, self.cc_data.t, self.dt)
         self.cc_data.set_vars(U)
 
         if self.particles is not None:

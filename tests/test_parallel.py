@@ -434,6 +434,178 @@ class TestEnsemble:
                                        rtol=1e-13, atol=1e-14)
 
 
+class TestShardedSelfSufficiency:
+    """The sharded path must not materialize global state: blockwise ICs
+    match global init bitwise, dt reduces with pmin, and solid-wall
+    clamps are block-gated (not silently dropped)."""
+
+    def test_blockwise_init_and_pmin_dt(self):
+        rp = _rp(32, 32)
+        mesh = make_mesh(8)
+        sc = ShardedCompressible(rp, mesh, problem="advect")
+
+        U_blk = sc.init_interior()
+        U_glob = sc.global_interior()
+        np.testing.assert_array_equal(np.asarray(U_blk), np.asarray(U_glob))
+
+        dt_sh = sc.compute_dt(U_blk)
+        gs = sc.global_sim
+        gs.cc_data.fill_BC_all()
+        gs.method_compute_timestep()
+        assert dt_sh == gs.dt
+
+    def test_solid_walls_block_gated_bitwise(self):
+        """reflect walls on a SPLIT axis: the sharded Riemann clamp must
+        apply only at the domain boundary and match the serial solver
+        bitwise (round 1 silently disabled the clamp)."""
+        rp = _rp(32, 32, bcs="reflect")
+        mesh = make_mesh(8)     # (2, 4): both axes split
+        sc = ShardedCompressible(rp, mesh, problem="advect")
+
+        U = sc.init_interior()
+        dt = 0.002
+        U1 = sc.step(U, 0.0, dt)
+        U2 = sc.step(U1, dt, dt)
+
+        gs = sc.global_sim
+        assert gs.solid.xl == 1 and gs.solid.yr == 1
+        gs.dt = dt
+        gs.cc_data.fill_BC_all()
+        gs.evolve()
+        gs.cc_data.fill_BC_all()
+        gs.evolve()
+        gg = gs.cc_data.grid
+        U_ref = gs.cc_data.data[:, gg.ilo:gg.ihi + 1, gg.jlo:gg.jhi + 1]
+        np.testing.assert_array_equal(np.asarray(U2), np.asarray(U_ref))
+
+    def test_extended_bc_rejected(self):
+        rp = _rp(32, 32)
+        rp.set_param("mesh.xlboundary", "hse", no_new=False)
+        import pyro2_tpu.mesh.boundary as bnd
+        from pyro2_tpu.solvers.compressible import BC
+        bnd.define_bc("hse", BC.user, is_solid=False)
+        mesh = make_mesh(8)
+        with pytest.raises(ValueError, match="not supported"):
+            ShardedCompressible(rp, mesh, problem="advect")
+
+
+class TestBlockwiseInit:
+    """Per-block problem initialization must agree bitwise with global
+    init (block grids carry bitwise-global coordinate windows)."""
+
+    def test_block_grid_coords_bitwise(self):
+        from pyro2_tpu.mesh.grid import Grid2d
+        from pyro2_tpu.parallel.blocks import block_grid
+
+        g = Grid2d(32, 16, ng=4, xmin=-1.0, xmax=3.0, ymin=0.5, ymax=2.5)
+        px, py = 4, 2
+        bx, by = 8, 8
+        for ix in range(px):
+            for iy in range(py):
+                bg = block_grid(g, px, py, ix, iy)
+                assert bg.xmin == g.xmin and bg.xmax == g.xmax
+                np.testing.assert_array_equal(
+                    bg.x, g.x[ix * bx:ix * bx + bx + 2 * g.ng])
+                np.testing.assert_array_equal(
+                    bg.y, g.y[iy * by:iy * by + by + 2 * g.ng])
+                np.testing.assert_array_equal(
+                    bg.x2d, g.x2d[ix * bx:ix * bx + bx + 2 * g.ng,
+                                  iy * by:iy * by + by + 2 * g.ng])
+
+    def test_blockwise_init_matches_global(self):
+        import importlib
+
+        from pyro2_tpu.parallel.blocks import blockwise_init_interior
+        from pyro2_tpu.solvers import incompressible
+
+        problem_mod = importlib.import_module(
+            "pyro2_tpu.solvers.incompressible.problems.shear")
+        rp = RuntimeParameters()
+        rp.load_params("pyro2_tpu/_defaults")
+        rp.load_params("pyro2_tpu/solvers/incompressible/_defaults")
+        for k, v in problem_mod.PROBLEM_PARAMS.items():
+            rp.set_param(k, v, no_new=False)
+        for k, v in {"mesh.nx": 32, "mesh.ny": 32,
+                     "mesh.xlboundary": "periodic",
+                     "mesh.xrboundary": "periodic",
+                     "mesh.ylboundary": "periodic",
+                     "mesh.yrboundary": "periodic",
+                     "driver.verbose": 0, "vis.dovis": 0,
+                     "io.do_io": 0}.items():
+            rp.set_param(k, v, no_new=False)
+
+        gs = incompressible.Simulation("incompressible", "shear",
+                                       problem_mod.init_data, rp)
+        gs.initialize()
+        gg = gs.cc_data.grid
+        ref = np.asarray(gs.cc_data.data[:, gg.ilo:gg.ihi + 1,
+                                         gg.jlo:gg.jhi + 1])
+
+        mesh = make_mesh(shape=(2, 4))
+        U = blockwise_init_interior(gs.cc_data, problem_mod.init_data,
+                                    rp, mesh)
+        np.testing.assert_array_equal(np.asarray(U), ref)
+
+
+class TestShardedIncompressible:
+    """The full SPMD incompressible step (hyperbolic stages + 3 inline
+    sharded MG solves) must be partition-invariant vs the serial solver."""
+
+    def _rp(self, problem_mod, N=32):
+        rp = RuntimeParameters()
+        rp.load_params("pyro2_tpu/_defaults")
+        rp.load_params("pyro2_tpu/solvers/incompressible/_defaults")
+        for k, v in problem_mod.PROBLEM_PARAMS.items():
+            rp.set_param(k, v, no_new=False)
+        for k, v in {"mesh.nx": N, "mesh.ny": N,
+                     "mesh.xlboundary": "periodic",
+                     "mesh.xrboundary": "periodic",
+                     "mesh.ylboundary": "periodic",
+                     "mesh.yrboundary": "periodic",
+                     "driver.verbose": 0, "vis.dovis": 0,
+                     "io.do_io": 0}.items():
+            rp.set_param(k, v, no_new=False)
+        return rp
+
+    def test_shear_matches_serial(self):
+        import importlib
+
+        from pyro2_tpu.parallel.sharded_incompressible import \
+            ShardedIncompressible
+        from pyro2_tpu.solvers import incompressible
+
+        problem_mod = importlib.import_module(
+            "pyro2_tpu.solvers.incompressible.problems.shear")
+
+        mesh = make_mesh(shape=(2, 4))
+        sh = ShardedIncompressible(self._rp(problem_mod), mesh,
+                                   problem="shear")
+        sh.preevolve()
+        for _ in range(2):
+            sh.method_compute_timestep()
+            sh.evolve()
+
+        gs = incompressible.Simulation("incompressible", "shear",
+                                       problem_mod.init_data,
+                                       self._rp(problem_mod))
+        gs.initialize()
+        gs.preevolve()
+        for _ in range(2):
+            gs.cc_data.fill_BC_all()
+            gs.method_compute_timestep()
+            gs.evolve()
+
+        assert sh.dt == gs.dt
+
+        gg = gs.cc_data.grid
+        for name in ["x-velocity", "y-velocity", "gradp_x", "gradp_y"]:
+            ref = np.asarray(gs.cc_data.get_var(name))[
+                gg.ilo:gg.ihi + 1, gg.jlo:gg.jhi + 1]
+            got = np.asarray(sh.get_var(name))
+            scale = max(1.0, np.abs(ref).max())
+            assert np.max(np.abs(got - ref)) < 1e-11 * scale, name
+
+
 class TestShardedDiffusion:
     """The SPMD C-N diffusion step (ShardedMG consumer) must be
     partition-invariant vs the serial diffusion solver."""
