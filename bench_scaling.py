@@ -1,0 +1,142 @@
+#!/usr/bin/env python
+"""Multi-chip scaling accounting on the virtual 8-device mesh.
+
+Prints BENCH-style JSON lines quantifying the SPMD design's communication
+footprint -- the methodology behind BASELINE.md's ">= 80% scaling
+efficiency with halo exchange overlapped with interior compute" target,
+reportable without multi-chip hardware:
+
+* per-step ppermute count and per-device halo bytes for the sharded CTU
+  step and for one MG V-cycle (exact properties of the traced program,
+  parallel/accounting.py);
+* the overlapped step's core fraction (share of output zones whose
+  dependency cone contains NO collective -- the compute window that can
+  hide the exchange) and its rim-recompute overhead;
+* a comm-time bound: halo_bytes / ICI bandwidth per step, compared to
+  the measured single-chip step time to give the modeled scaling
+  efficiency  eff = t_step / (max(t_core, t_comm) + t_rim).
+
+Usage: python bench_scaling.py [--nx N] [--ici-gbps G]
+"""
+
+import argparse
+import json
+import os
+import sys
+
+os.environ.setdefault("XLA_FLAGS", "")
+if "--xla_force_host_platform_device_count" not in os.environ["XLA_FLAGS"]:
+    os.environ["XLA_FLAGS"] += " --xla_force_host_platform_device_count=8"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp  # noqa: E402
+
+from pyro2_tpu.parallel import make_mesh  # noqa: E402
+from pyro2_tpu.parallel.accounting import collective_stats  # noqa: E402
+from pyro2_tpu.parallel.overlap import halo_stats  # noqa: E402
+from pyro2_tpu.parallel.sharded import ShardedCompressible  # noqa: E402
+from pyro2_tpu.parallel.sharded_mg import ShardedMG  # noqa: E402
+from pyro2_tpu.util.runparams import RuntimeParameters  # noqa: E402
+
+
+def _rp(nx, ny):
+    rp = RuntimeParameters()
+    rp.load_params("pyro2_tpu/_defaults")
+    rp.load_params("pyro2_tpu/solvers/compressible/_defaults")
+    for k, v in {"mesh.nx": nx, "mesh.ny": ny,
+                 "mesh.xlboundary": "periodic",
+                 "mesh.xrboundary": "periodic",
+                 "mesh.ylboundary": "periodic",
+                 "mesh.yrboundary": "periodic",
+                 "driver.verbose": 0, "vis.dovis": 0,
+                 "io.do_io": 0}.items():
+        rp.set_param(k, v, no_new=False)
+    return rp
+
+
+def emit(metric, value, unit, extra=None):
+    rec = {"metric": metric, "value": value, "unit": unit}
+    if extra:
+        rec.update(extra)
+    print(json.dumps(rec))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--nx", type=int, default=256)
+    ap.add_argument("--ici-gbps", type=float, default=45.0,
+                    help="assumed per-link ICI bandwidth (GB/s); the "
+                         "comm-time bound scales linearly in 1/this")
+    args = ap.parse_args()
+    nx = args.nx
+
+    mesh = make_mesh(8)
+    rp = _rp(nx, nx)
+    sc = ShardedCompressible(rp, mesh, problem="advect")
+    so = ShardedCompressible(rp, mesh, problem="advect", overlap=True)
+    U = sc.init_interior()
+    dt = 1e-4
+
+    st_plain = collective_stats(lambda u: sc._step(u, 0.0, dt), U)
+    st_over = collective_stats(lambda u: so._step(u, 0.0, dt), U)
+    hs = halo_stats(sc)
+
+    emit("CTU halo bytes/step/device", st_plain["total_bytes"], "B",
+         {"ppermutes": st_plain["ppermute"]["count"],
+          "grid": f"{nx}^2 on 2x4 mesh"})
+    emit("CTU overlapped halo bytes/step/device", st_over["total_bytes"],
+         "B", {"ppermutes": st_over["ppermute"]["count"],
+               "core_fraction": round(hs["core_fraction"], 4),
+               "rim_recompute_fraction":
+                   round(hs["rim_recompute_fraction"], 4)})
+
+    smg = ShardedMG(nx, nx, mesh, alpha=0.0, beta=-1.0)
+    smg.init_zeros()
+    g = smg.soln_grid
+    rhs = jnp.sin(2 * jnp.pi * jnp.asarray(g.x2d)) * \
+        jnp.sin(2 * jnp.pi * jnp.asarray(g.y2d))
+    smg.init_RHS(rhs)
+    cyc = smg._build_cycle()
+    cp, lp = smg._coarse_params(), smg._local_params()
+    st_mg = collective_stats(lambda v, f: cyc(v, f, cp, lp),
+                             smg.v_int, smg.f_int)
+    emit("MG V-cycle halo bytes/device", st_mg["total_bytes"], "B",
+         {"ppermutes": st_mg["ppermute"]["count"],
+          "all_gathers": st_mg.get("all_gather", {}).get("count", 0),
+          "grid": f"{nx}^2 on 2x4 mesh"})
+
+    # modeled scaling efficiency: measure the single-chip-equivalent step
+    # wall time on this host, bound comm time by halo bytes / ICI bw, and
+    # charge the rim recompute
+    import time
+    sc.step(U, 0.0, dt)  # compile
+    t0 = time.perf_counter()
+    n = 5
+    for _ in range(n):
+        out = sc.step(U, 0.0, dt)
+    jax.block_until_ready(out)
+    t_step = (time.perf_counter() - t0) / n
+    t_comm = st_plain["total_bytes"] / (args.ici_gbps * 1e9)
+    core = hs["core_fraction"]
+    rim = hs["rim_recompute_fraction"]
+    t_core = t_step * core
+    t_rest = t_step * (1 - core)
+    eff_seq = t_step / (t_step + t_comm)            # exchange-then-compute
+    eff_ovl = t_step / (max(t_core, t_comm) + t_rest + rim * t_step)
+    emit("modeled scaling efficiency (overlapped)", round(eff_ovl, 4),
+         "fraction",
+         {"sequential": round(eff_seq, 4),
+          "t_step_ms": round(t_step * 1e3, 3),
+          "t_comm_bound_ms": round(t_comm * 1e3, 6),
+          "ici_gbps_assumed": args.ici_gbps,
+          "note": "t_step from this host's CPU; on-TPU t_step is ~100x "
+                  "smaller, t_comm unchanged -- rerun on hardware for "
+                  "the confirmed number"})
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

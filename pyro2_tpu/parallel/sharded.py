@@ -66,7 +66,8 @@ class ShardedSim:
 
     _SOLVERS = ("compressible", "swe")
 
-    def __init__(self, solver, rp, mesh, *, problem="test", ng=4):
+    def __init__(self, solver, rp, mesh, *, problem="test", ng=4,
+                 overlap=False):
         if solver not in self._SOLVERS:
             raise ValueError(
                 f"solver '{solver}' has no sharded step "
@@ -128,7 +129,13 @@ class ShardedSim:
         self.nvar = len(self.bcs)
         self.ng = ng
 
-        self._step = self._build()
+        if overlap:
+            # core-compute ∥ halo-exchange pipelining (parallel/overlap.py):
+            # bitwise-identical results, collectives off the critical path
+            from pyro2_tpu.parallel.overlap import build_overlapped_step
+            self._step = build_overlapped_step(self)
+        else:
+            self._step = self._build()
         self._dt_fn = self._build_dt()
         self._global_sim = None
 
@@ -241,13 +248,15 @@ class ShardedSim:
 
 
 class ShardedCompressible(ShardedSim):
-    def __init__(self, rp, mesh, *, problem="test", ng=4):
-        super().__init__("compressible", rp, mesh, problem=problem, ng=ng)
+    def __init__(self, rp, mesh, *, problem="test", ng=4, overlap=False):
+        super().__init__("compressible", rp, mesh, problem=problem, ng=ng,
+                         overlap=overlap)
 
 
 class ShardedSWE(ShardedSim):
-    def __init__(self, rp, mesh, *, problem="test", ng=4):
-        super().__init__("swe", rp, mesh, problem=problem, ng=ng)
+    def __init__(self, rp, mesh, *, problem="test", ng=4, overlap=False):
+        super().__init__("swe", rp, mesh, problem=problem, ng=ng,
+                         overlap=overlap)
 
 
 def _clone_rp(rp):

@@ -653,3 +653,58 @@ class TestShardedDiffusion:
         phi_sh = np.asarray(sd.get_phi())
         scale = max(1.0, np.abs(phi_ref).max())
         assert np.max(np.abs(phi_sh - phi_ref)) < 1e-12 * scale
+
+
+class TestOverlap:
+    """Comm/compute-overlapped stepping (parallel/overlap.py): the core
+    is computed with no collective in its dependency cone, the rim from
+    band programs on the exchanged halos -- results must stay BITWISE
+    equal to the plain exchange-then-compute sharded step."""
+
+    def _steps(self, bcs):
+        rp = _rp(64, 64, bcs=bcs)
+        mesh = make_mesh(8)
+        sc = ShardedCompressible(rp, mesh, problem="advect")
+        so = ShardedCompressible(rp, mesh, problem="advect", overlap=True)
+        U = sc.init_interior()
+        dt = 0.002
+        Up = sc.step(sc.step(U, 0.0, dt), dt, dt)
+        Uo = so.step(so.step(U, 0.0, dt), dt, dt)
+        np.testing.assert_array_equal(np.asarray(Uo), np.asarray(Up))
+
+    def test_overlapped_bitwise_periodic(self):
+        self._steps("periodic")
+
+    def test_overlapped_bitwise_reflect(self):
+        # reflect exercises the block-gated solid clamps AND the avisc
+        # global-window masking inside the band programs
+        self._steps("reflect")
+
+    def test_small_block_rejected(self):
+        rp = _rp(16, 16)
+        mesh = make_mesh(8)       # blocks 8x4 < 4*ng
+        with pytest.raises(ValueError, match="overlapped"):
+            ShardedCompressible(rp, mesh, problem="advect", overlap=True)
+
+    def test_collective_accounting(self):
+        from pyro2_tpu.parallel.accounting import collective_stats
+        from pyro2_tpu.parallel.overlap import halo_stats
+
+        rp = _rp(64, 64)
+        mesh = make_mesh(8)
+        sc = ShardedCompressible(rp, mesh, problem="advect")
+        U = sc.init_interior()
+        st = collective_stats(lambda u: sc._step(u, 0.0, 0.002), U)
+        # 4 vars x (2 ppermutes per split axis) x 2 axes
+        assert st["ppermute"]["count"] == 16
+        g = sc.local_grid
+        itemsize = np.dtype(np.asarray(U).dtype).itemsize
+        expect = 4 * 2 * g.ng * (g.qx + g.qy) * itemsize
+        assert st["ppermute"]["bytes"] == expect
+        assert st["total_bytes"] == expect
+        # dt adds the pmin reduction
+        st_dt = collective_stats(sc._dt_fn, U)
+        assert st_dt["pmin"]["count"] == 2
+        hs = halo_stats(sc)
+        assert hs["halo_bytes_per_step"] == expect
+        assert 0.0 < hs["core_fraction"] < 1.0
