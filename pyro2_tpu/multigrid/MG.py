@@ -332,12 +332,14 @@ class CellCenterMG2d:
         v = self._smooth_n(level, v, f, self.nsmooth_bottom, params)
         return self._fill_v(level, v)
 
-    def _build_cycle(self):
+    def _build_cycle(self, force_jnp=False):
         # on TPU, eligible configurations use the fused Pallas V-cycle
         # (3 kernel dispatches/cycle instead of ~2000 small XLA ops --
         # see multigrid/pallas_mg.py); anything else falls back to the
-        # jnp cycle below
-        if jax.default_backend() == "tpu" or _FORCE_PALLAS_INTERPRET:
+        # jnp cycle below.  force_jnp skips the fused path (benchmarks
+        # use it to measure the jnp cycle for contrast).
+        if not force_jnp and (jax.default_backend() == "tpu" or
+                              _FORCE_PALLAS_INTERPRET):
             try:
                 from pyro2_tpu.multigrid import pallas_mg
                 return pallas_mg.build_fused_cycle(

@@ -45,9 +45,17 @@ __all__ = ["Ineligible", "build_fused_cycle", "CORE_MAX"]
 # of VMEM scratch (over the 16 MB budget); 256^2 fits comfortably.
 CORE_MAX = 256
 
-# largest eligible fine grid: the peeled-level kernels hold ~6 arrays of
-# (nx+2)^2 in VMEM; 512^2 fits, 1024^2 does not.
-NX_MAX = 512
+# largest level run as WHOLE-FRAME peeled kernels; larger levels hold
+# too many live (nx+2)^2 frames for VMEM and are run as ROW-BANDED
+# kernels instead (deep-halo redundant smoothing, see the banded section
+# below).  Banded levels require non-periodic row (x) BCs.
+WHOLE_MAX = 512
+
+# owned rows per banded program
+BAND_ROWS = 128
+
+# largest eligible fine grid overall
+NX_MAX = 2048
 
 _HI = jax.lax.Precision.HIGHEST  # full-f32 matmul; Mosaic rejects HIGH
                                  # ("Unsupported dot precision") on v5e,

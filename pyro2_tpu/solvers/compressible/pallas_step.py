@@ -26,8 +26,39 @@ from pyro2_tpu.mesh.grid import Cartesian2d
 NG = 4
 
 
-def _local_step_fn(tile_rows, ny, dx, dy, gamma, rp_params, ivars_proto):
-    """The single-block CTU pipeline specialized to the band grid."""
+def _local_step_fn(tile_rows, ny, dx, dy, gamma, rp_params, ivars_proto,
+                   stages=4, *, ny_actual=None, nx_total=None,
+                   small_dens=None, with_sources=False, do_sponge=False,
+                   solid=(0, 0, 0, 0), n_bands=None):
+    """The single-block CTU pipeline specialized to the band grid.
+
+    stages < 4 truncates the pipeline after that stage (1 = interface
+    states, 2 = +transverse flux, 3 = +Riemann, 4 = full step) and
+    returns a same-shaped sum of the live intermediates -- used only by
+    the benchmark's in-kernel stage-time differencing (bench.py), where
+    the sum keeps every intermediate live against XLA dead-code
+    elimination.
+
+    The keyword options enable the GENERAL step (bitwise twin of
+    simulation._make_step for Cartesian geometry):
+      * small_dens      -- density floor applied to exactly the GLOBAL
+                           interior cells inside the band (halo rows are
+                           other bands' interiors and were floored in the
+                           jnp step too; global ghosts are NOT floored);
+                           needs nx_total/ny_actual/n_bands + band_i;
+      * with_sources    -- apply 0.5*dt of the ghost-filled external
+                           sources to the interface states (the S band is
+                           produced and BC-filled at the jnp level, so
+                           reflect-odd/hse source ghosts are exact) plus
+                           the predictor-corrector source update;
+      * do_sponge       -- implicit velocity damping (pointwise);
+      * solid           -- (xl, xr, yl, yr) solid-wall flags; x clamps
+                           apply only in the band owning that global edge
+                           (traced program-id gate, same mechanism as the
+                           sharded path's block-gated walls), y clamps
+                           are in-band static masks.
+    The general step's signature is step(U, dt, t, S, band_i); the plain
+    periodic bench kernel calls step(U, dt)."""
     import pyro2_tpu.solvers.compressible.unsplit_fluxes as flx
     from pyro2_tpu.mesh.indexer import ai
     from pyro2_tpu.solvers.compressible import riemann
@@ -40,39 +71,95 @@ def _local_step_fn(tile_rows, ny, dx, dy, gamma, rp_params, ivars_proto):
     rp = RuntimeParameters()
     rp.params = dict(rp_params)
 
+    tc = profile_pyro.TimerCollection()
+
     class _Data:
         grid = g
 
-    class _Solid:
-        xl = xr = yl = yr = 0
-
-    tc = profile_pyro.TimerCollection()
     my_data = _Data()
-    solid = _Solid()
     ivars = ivars_proto
 
     # keep ALL y columns (lane alignment); the host wrapper slices y
     iv_sl = (slice(None), slice(g.ilo, g.ihi + 1), slice(None))
 
-    def step(U, dt):
+    def step(U, dt, t=None, S=None, band_i=None):
         # full-frame mode: windows become rolls, embeds become masks --
         # the only view forms Mosaic can lower.  Interior results are
         # identical to the windowed pipeline (see indexer.full_frame).
         from pyro2_tpu.mesh import indexer as _ix
+        from pyro2_tpu.solvers.compressible import simulation as comp
+
+        if band_i is None:
+            class _Solid:
+                xl = xr = yl = yr = 0
+            solid_b = _Solid()
+        else:
+            last = n_bands - 1
+
+            class _Solid:
+                # x walls only in the band owning that global edge
+                # (traced gate, like the sharded path's block-gated
+                # walls); y walls are global on every band.  Open walls
+                # stay static 0 so _solid_mask skips the mask entirely.
+                xl = ((band_i == 0).astype(jnp.int32)
+                      if solid[0] else 0)
+                xr = ((band_i == last).astype(jnp.int32)
+                      if solid[1] else 0)
+                yl = solid[2]
+                yr = solid[3]
+            solid_b = _Solid()
 
         with _ix.full_frame():
+            if small_dens is not None and band_i is not None:
+                # global-interior mask: local row r is global interior
+                # row band_i*T + (r - NG); lanes [NG, NG+ny_actual)
+                xi = jax.lax.broadcasted_iota(jnp.int32, U.shape[1:], 0)
+                yi = jax.lax.broadcasted_iota(jnp.int32, U.shape[1:], 1)
+                gi = xi + (band_i * tile_rows - NG)
+                interior = ((gi >= 0) & (gi < nx_total) &
+                            (yi >= NG) & (yi < NG + ny_actual))
+                rho = U[ivars.idens]
+                floor = max(small_dens, float(jnp.finfo(U.dtype).min))
+                U = U.at[ivars.idens].set(
+                    jnp.where(interior, jnp.maximum(rho, floor), rho))
+
             U_xl, U_xr, U_yl, U_yr = flx.interface_states(
                 U, my_data, rp, ivars, tc, dt)
-            U_xl, U_xr, U_yl, U_yr = flx.apply_transverse_flux(
-                U_xl, U_xr, U_yl, U_yr, my_data, rp, ivars, solid, tc, dt)
-            F_x = riemann.riemann_flux(1, U_xl, U_xr, my_data, rp, ivars,
-                                       0, 0, tc)
-            F_y = riemann.riemann_flux(2, U_yl, U_yr, my_data, rp, ivars,
-                                       0, 0, tc)
+            if stages == 1:
+                return (U_xl + U_xr + U_yl + U_yr)[iv_sl]
 
-            from pyro2_tpu.solvers.compressible.simulation import \
-                cons_to_prim
-            q = cons_to_prim(U, gamma, ivars, g)
+            if with_sources:
+                # S is the band of the globally-computed, BC-filled
+                # source stack; a shim aux container hands it to
+                # apply_source_terms in place of its own fill.  The
+                # increments are masked to the GLOBAL buf=1 window
+                # (the jnp step's increment window) for bitwise parity.
+                class _AuxShim:
+                    @staticmethod
+                    def fill_bc_stack(stack, t=None):
+                        return S
+                xi = jax.lax.broadcasted_iota(jnp.int32, U.shape[1:], 0)
+                yi = jax.lax.broadcasted_iota(jnp.int32, U.shape[1:], 1)
+                gi = xi + (band_i * tile_rows - NG)
+                wmask = ((gi >= -1) & (gi < nx_total + 1) &
+                         (yi >= NG - 1) & (yi < NG + ny_actual + 1))
+                U_xl, U_xr, U_yl, U_yr = flx.apply_source_terms(
+                    U_xl, U_xr, U_yl, U_yr, U, t, my_data, _AuxShim(),
+                    rp, ivars, tc, dt, window_mask=wmask)
+
+            U_xl, U_xr, U_yl, U_yr = flx.apply_transverse_flux(
+                U_xl, U_xr, U_yl, U_yr, my_data, rp, ivars, solid_b, tc,
+                dt)
+            if stages == 2:
+                return (U_xl + U_xr + U_yl + U_yr)[iv_sl]
+            F_x = riemann.riemann_flux(1, U_xl, U_xr, my_data, rp, ivars,
+                                       solid_b.xl, solid_b.xr, tc)
+            F_y = riemann.riemann_flux(2, U_yl, U_yr, my_data, rp, ivars,
+                                       solid_b.yl, solid_b.yr, tc)
+            if stages == 3:
+                return (F_x + F_y)[iv_sl]
+
+            q = comp.cons_to_prim(U, gamma, ivars, g)
             F_x, F_y = flx.apply_artificial_viscosity(F_x, F_y, q, U,
                                                       my_data, rp, ivars)
 
@@ -87,6 +174,28 @@ def _local_step_fn(tile_rows, ny, dx, dy, gamma, rp_params, ivars_proto):
                 Fx.v() * Ax.v()[None] - Fx.ip(1) * Ax.ip(1)[None] +
                 Fy.v() * Ay.v()[None] - Fy.jp(1) * Ay.jp(1)[None])
             out = U + upd
+
+            if with_sources:
+                # predictor-corrector external sources (pointwise; only
+                # owned rows are written back, so full-frame adds match
+                # the jnp step's interior-windowed adds there)
+                S_old = comp.get_external_sources(t, dt, U, ivars, rp, g)
+                out = out + dt * S_old
+                S_new = comp.get_external_sources(t, dt, out, ivars, rp,
+                                                  g, U_old=U)
+                out = out + 0.5 * dt * (S_new - S_old)
+
+            if do_sponge:
+                kappa_f = comp.get_sponge_factor(out, ivars, rp, g)
+                damp = 1.0 + dt * kappa_f
+                pre_x = out[ivars.ixmom]
+                pre_y = out[ivars.iymom]
+                out = out.at[ivars.ixmom].set(pre_x / damp)
+                out = out.at[ivars.iymom].set(pre_y / damp)
+                dke = 0.5 * ((out[ivars.ixmom] ** 2 +
+                              out[ivars.iymom] ** 2) -
+                             (pre_x ** 2 + pre_y ** 2)) / out[ivars.idens]
+                out = out.at[ivars.iener].add(dke)
         return out[iv_sl]
 
     return step, g
@@ -187,7 +296,7 @@ NGX = 8   # x ghost rows in the padded layout (stencil uses NG=4; 8 keeps
 
 
 def make_pallas_ctu_step_padded(nx, ny, dx, dy, gamma, rp_params, ivars,
-                                tile_rows=128, interpret=False):
+                                tile_rows=128, interpret=False, stages=4):
     """Periodic-BC CTU stepping on a persistent padded state layout.
 
     Returns (to_padded, from_padded, fill, step):
@@ -216,7 +325,7 @@ def make_pallas_ctu_step_padded(nx, ny, dx, dy, gamma, rp_params, ivars,
     qxp = nx + 2 * NGX
 
     local_step, _g = _local_step_fn(tile_rows, ny_eff, dx, dy, gamma,
-                                    rp_params, ivars)
+                                    rp_params, ivars, stages=stages)
 
     band_in = tile_rows + 2 * NGX   # aligned read: rows [i*T, i*T+T+16)
 
@@ -283,5 +392,180 @@ def make_pallas_ctu_step_padded(nx, ny, dx, dy, gamma, rp_params, ivars,
     @jax.jit
     def from_padded(P):
         return P[:, NGX - NG:NGX + nx + NG, :qy]
+
+    return to_padded, from_padded, fill, step
+
+
+# -- general problems on the padded layout -----------------------------------
+
+class IneligibleStep(Exception):
+    """This Simulation configuration is not covered by the fused kernel."""
+
+
+def _pick_tile(nx, want=128):
+    """Largest multiple of 8 that divides nx, capped at `want`."""
+    t = min(want, nx)
+    while t >= 8:
+        if t % 8 == 0 and nx % t == 0:
+            return t
+        t -= 8
+    raise IneligibleStep(f"no 8-multiple tile divides nx={nx}")
+
+
+def make_pallas_ctu_step_padded_general(sim, tile_rows=None,
+                                        interpret=False):
+    """Fused CTU stepping for a LIVE Simulation on the padded layout.
+
+    Generalizes make_pallas_ctu_step_padded beyond the periodic benchmark
+    configuration: gravity (+ predictor-corrector), passive species
+    (nvar > 4), sponge damping, the density floor, solid walls, and
+    arbitrary standard/custom BCs.  Ghost fills and the external-source
+    stack are produced at the jnp level on the global frame (so hse /
+    ambient / reflect-odd source ghosts are exactly the jnp step's), then
+    the full CTU pipeline runs in the fused row-band kernel; interior
+    results are bitwise identical to sim._make_step() in f32
+    (tests/test_pallas_tpu.py validates sod and rt on hardware).
+
+    Returns (to_padded, from_padded, fill, step):
+      fill(P, t) -- ghost fill (fast strip copies when every BC is
+                    periodic, else a jnp fill_bc_stack round trip)
+      step(P, t, dt) -- one full CTU step (interior rows updated)
+
+    Raises IneligibleStep for spherical geometry or problem heating
+    terms (those run the jnp step).
+    """
+    from pyro2_tpu.solvers.compressible import simulation as comp
+
+    rp = sim.rp
+    myg = sim.cc_data.grid
+    ivars = sim.ivars
+    if getattr(myg, "coord_type", 0) != 0:
+        raise IneligibleStep("spherical geometry")
+    if sim.problem_source is not None:
+        raise IneligibleStep("problem source terms use global coordinates")
+
+    nx, ny = myg.nx, myg.ny
+    tile_rows = tile_rows or _pick_tile(nx)
+    n_tiles = nx // tile_rows
+    nvar = ivars.nvar
+    qy = ny + 2 * NG
+    qy_pad = -(-qy // 128) * 128
+    ny_eff = qy_pad - 2 * NG
+    qxp = nx + 2 * NGX
+
+    gamma = rp.get_param("eos.gamma")
+    grav = rp.get_param("compressible.grav")
+    with_sources = grav != 0.0
+    do_sponge = bool(rp.get_param("sponge.do_sponge"))
+    small_dens = rp.get_param("compressible.small_dens")
+    solid = (sim.solid.xl, sim.solid.xr, sim.solid.yl, sim.solid.yr)
+
+    local_step, _g = _local_step_fn(
+        tile_rows, ny_eff, myg.dx, myg.dy, gamma, rp.params, ivars,
+        ny_actual=ny, nx_total=nx, small_dens=small_dens,
+        with_sources=with_sources, do_sponge=do_sponge, solid=solid,
+        n_bands=n_tiles)
+
+    band_in = tile_rows + 2 * NGX
+
+    def kernel(sc_ref, U_hbm, *rest):
+        if with_sources:
+            (S_hbm, out_hbm, band_vmem, s_vmem, res_vmem,
+             sem_in, sem_s, sem_out) = rest
+        else:
+            out_hbm, band_vmem, res_vmem, sem_in, sem_out = rest
+            S_loc = None
+        i = pl.program_id(0)
+        start = pl.multiple_of(i * tile_rows, 8)
+        cp = pltpu.make_async_copy(
+            U_hbm.at[:, pl.ds(start, band_in), :], band_vmem, sem_in)
+        cp.start()
+        if with_sources:
+            cps = pltpu.make_async_copy(
+                S_hbm.at[:, pl.ds(start, band_in), :], s_vmem, sem_s)
+            cps.start()
+            cps.wait()
+            S_loc = s_vmem[:, NGX - NG:NGX + tile_rows + NG, :]
+        cp.wait()
+        U_loc = band_vmem[:, NGX - NG:NGX + tile_rows + NG, :]
+        res_vmem[...] = local_step(U_loc, sc_ref[0], t=sc_ref[1],
+                                   S=S_loc, band_i=i)
+        wstart = pl.multiple_of(NGX + i * tile_rows, 8)
+        cpo = pltpu.make_async_copy(
+            res_vmem, out_hbm.at[:, pl.ds(wstart, tile_rows), :], sem_out)
+        cpo.start()
+        cpo.wait()
+
+    scratch = [pltpu.VMEM((nvar, band_in, qy_pad), jnp.float32)]
+    if with_sources:
+        scratch.append(pltpu.VMEM((4, band_in, qy_pad), jnp.float32))
+    scratch.append(pltpu.VMEM((nvar, tile_rows, qy_pad), jnp.float32))
+    scratch.append(pltpu.SemaphoreType.DMA(()))
+    if with_sources:
+        scratch.append(pltpu.SemaphoreType.DMA(()))
+    scratch.append(pltpu.SemaphoreType.DMA(()))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] *
+        (2 if with_sources else 1),
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=scratch,
+    )
+
+    pallas_step = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((nvar, qxp, qy_pad), jnp.float32),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+    @jax.jit
+    def to_padded(U):
+        P = jnp.zeros((nvar, qxp, qy_pad), jnp.float32)
+        return P.at[:, NGX - NG:NGX + nx + NG, :qy].set(
+            U.astype(jnp.float32))
+
+    @jax.jit
+    def from_padded(P):
+        return P[:, NGX - NG:NGX + nx + NG, :qy]
+
+    all_periodic = all(
+        getattr(bc, e) == "periodic"
+        for bc in sim.cc_data.BCs.values()
+        for e in ("xlb", "xrb", "ylb", "yrb"))
+
+    if all_periodic:
+        @jax.jit
+        def fill(P, t=None):
+            P = P.at[:, :, 0:NG].set(P[:, :, ny:ny + NG])
+            P = P.at[:, :, NG + ny:2 * NG + ny].set(P[:, :, NG:2 * NG])
+            P = P.at[:, 0:NGX, :].set(P[:, nx:nx + NGX, :])
+            P = P.at[:, NGX + nx:, :].set(P[:, NGX:2 * NGX, :])
+            return P
+    else:
+        @jax.jit
+        def fill(P, t=0.0):
+            U = sim.cc_data.fill_bc_stack(from_padded(P), t=t)
+            return P.at[:, NGX - NG:NGX + nx + NG, :qy].set(U)
+
+    @jax.jit
+    def step(P, t, dt):
+        sc = jnp.stack([jnp.asarray(dt, jnp.float32),
+                        jnp.asarray(t, jnp.float32)])
+        if with_sources:
+            U = from_padded(P)
+            S_full = comp.get_external_sources(t, dt, U, ivars, rp, myg)
+            Sst = jnp.stack([S_full[ivars.idens], S_full[ivars.ixmom],
+                             S_full[ivars.iymom], S_full[ivars.iener]])
+            Sst = sim.aux_data.fill_bc_stack(Sst, t=t)
+            SP = jnp.zeros((4, qxp, qy_pad), jnp.float32)
+            SP = SP.at[:, NGX - NG:NGX + nx + NG, :qy].set(
+                Sst.astype(jnp.float32))
+            return pallas_step(sc, P, SP)
+        return pallas_step(sc, P)
 
     return to_padded, from_padded, fill, step

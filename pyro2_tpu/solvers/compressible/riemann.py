@@ -42,12 +42,20 @@ def _solid_mask(g, idir, lower_solid, upper_solid, shape):
     domain-edge clamp per block with `axis_index` (only blocks owning a
     domain boundary clamp), so the mask becomes a traced select."""
     import numpy as np
+
+    from pyro2_tpu.mesh import indexer
     static = all(isinstance(s, (int, np.integer))
                  for s in (lower_solid, upper_solid))
     if static and lower_solid == 0 and upper_solid == 0:
         return None
-    i_idx = np.arange(g.ilo - 1, g.ihi + 2)
-    j_idx = np.arange(g.jlo - 1, g.jhi + 2)
+    if indexer.is_full_frame():
+        # full-frame (Pallas) mode: position == grid index, so compare
+        # frame indices directly against the clamp interfaces
+        i_idx = np.arange(shape[-2])
+        j_idx = np.arange(shape[-1])
+    else:
+        i_idx = np.arange(g.ilo - 1, g.ihi + 2)
+        j_idx = np.arange(g.jlo - 1, g.jhi + 2)
     if idir == 1:
         lo = np.broadcast_to((i_idx == g.ilo)[:, None], shape)
         hi = np.broadcast_to((i_idx == g.ihi + 1)[:, None], shape)

@@ -72,9 +72,16 @@ def interface_states(U, my_data, rp, ivars, tc, dt):
 
 def apply_source_terms(U_xl, U_xr, U_yl, U_yr, U, t,
                        my_data, my_aux, rp, ivars, tc, dt, *,
-                       problem_source=None):
+                       problem_source=None, window_mask=None):
     """Add 0.5*dt of the (ghost-filled) external sources to the interface
-    states (reference unsplit_fluxes.py:247-330)."""
+    states (reference unsplit_fluxes.py:247-330).
+
+    window_mask (full-frame mode only): 1 on the GLOBAL buf=1 window.
+    The windowed path increments only rows/lanes [ilo-1, ihi+2); inside a
+    Pallas row band the full-frame adds must be masked to the same global
+    window or deeper ghost cells pick up increments the jnp step never
+    applies (which leak into interior results through the transverse
+    corrections)."""
     from pyro2_tpu.solvers.compressible import simulation as comp
 
     tm_source = tc.timer("sourceTerms")
@@ -94,15 +101,25 @@ def apply_source_terms(U_xl, U_xr, U_yl, U_yr, U, t,
 
     b = 1
     hdt = 0.5 * dt
-    sl = (slice(myg.ilo - b, myg.ihi + 2), slice(myg.jlo - b, myg.jhi + 2))
+    from pyro2_tpu.mesh import indexer as _ix
+    if _ix.is_full_frame():
+        # inside Pallas kernels windows are the full frame
+        sl = (slice(None), slice(None))
+    else:
+        sl = (slice(myg.ilo - b, myg.ihi + 2),
+              slice(myg.jlo - b, myg.jhi + 2))
+
+    def _m(x):
+        return jnp.where(window_mask, x, 0.0) if window_mask is not None \
+            else x
 
     # left states pick up the source of the zone they came from (i-1 / j-1)
     for n_target, src in ((ivars.ixmom, xmom_src), (ivars.iymom, ymom_src),
                           (ivars.iener, E_src)):
-        U_xl = U_xl.at[(n_target,) + sl].add(hdt * src.ip(-1, buf=b))
-        U_xr = U_xr.at[(n_target,) + sl].add(hdt * src.v(buf=b))
-        U_yl = U_yl.at[(n_target,) + sl].add(hdt * src.jp(-1, buf=b))
-        U_yr = U_yr.at[(n_target,) + sl].add(hdt * src.v(buf=b))
+        U_xl = U_xl.at[(n_target,) + sl].add(_m(hdt * src.ip(-1, buf=b)))
+        U_xr = U_xr.at[(n_target,) + sl].add(_m(hdt * src.v(buf=b)))
+        U_yl = U_yl.at[(n_target,) + sl].add(_m(hdt * src.jp(-1, buf=b)))
+        U_yr = U_yr.at[(n_target,) + sl].add(_m(hdt * src.v(buf=b)))
 
     tm_source.end()
     return U_xl, U_xr, U_yl, U_yr

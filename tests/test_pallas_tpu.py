@@ -95,3 +95,52 @@ def test_ctu_padded_layout_bitwise_vs_jnp():
 
     got = from_p(P)
     assert bool(jnp.all(U[:, ng:-ng, ng:-ng] == got[:, ng:-ng, ng:-ng]))
+
+
+@pytest.mark.parametrize("problem,overrides", [
+    # outflow BCs, no sources (the Sod shock tube)
+    ("sod", {"mesh.nx": 128, "mesh.ny": 32}),
+    # gravity + hse custom BCs + density floor (Rayleigh-Taylor)
+    ("rt", {"mesh.nx": 64, "mesh.ny": 192}),
+    # gravity + SOLID reflect walls + sponge (exercises the band-gated
+    # solid clamps and the implicit damping)
+    ("rt", {"mesh.nx": 64, "mesh.ny": 192,
+            "mesh.ylboundary": "reflect", "mesh.yrboundary": "reflect",
+            "sponge.do_sponge": 1}),
+])
+def test_ctu_padded_general_bitwise_vs_jnp(problem, overrides):
+    """The GENERAL fused kernel (gravity/sponge/floor/solid/custom BCs)
+    must match the jnp step bitwise on the interior for real problems."""
+    from pyro2_tpu import Pyro
+    from pyro2_tpu.solvers.compressible.pallas_step import \
+        make_pallas_ctu_step_padded_general
+
+    p = Pyro("compressible")
+    p.initialize_problem(problem, inputs_dict={
+        "driver.verbose": 0, "vis.dovis": 0, "io.do_io": 0,
+        "particles.do_particles": 0, **overrides})
+    sim = p.sim
+
+    myg = sim.cc_data.grid
+    fill_ref = sim.cc_data.fill_bc_stack
+    U0 = sim.cc_data.data.astype(jnp.float32)
+    sim.cc_data.fill_BC_all()
+    sim.method_compute_timestep()
+    dt = jnp.asarray(sim.dt, jnp.float32)
+
+    step_ref = jax.jit(sim._make_step())
+    ng = myg.ng
+
+    to_p, from_p, fill_p, step_p = \
+        make_pallas_ctu_step_padded_general(sim)
+
+    U = U0
+    P = to_p(U0)
+    t = jnp.asarray(0.0, jnp.float32)
+    for _ in range(2):
+        U = step_ref(fill_ref(U, t=t), t, dt)
+        P = step_p(fill_p(P, t), t, dt)
+        t = t + dt
+
+    got = from_p(P)
+    assert bool(jnp.all(U[:, ng:-ng, ng:-ng] == got[:, ng:-ng, ng:-ng]))
