@@ -355,6 +355,61 @@ def bench_driver_loop(sim, rp, dt0):
             "driver_loop_nsteps": nsteps}
 
 
+def bench_gravity_fused():
+    """The GENERAL fused kernel on a real gravity problem (rt, hse BCs,
+    density floor): proves the fused path engages beyond the periodic
+    benchmark configuration and reports its throughput."""
+    _log("gravity problem (rt) through the general fused kernel")
+    import importlib
+
+    from pyro2_tpu.solvers import compressible
+    from pyro2_tpu.solvers.compressible.pallas_step import \
+        make_pallas_ctu_step_padded_general
+    from pyro2_tpu.util.runparams import RuntimeParameters
+
+    nx, ny = 512, 512
+    home = os.path.join(os.path.dirname(os.path.realpath(__file__)),
+                        "pyro2_tpu")
+    rp = RuntimeParameters()
+    rp.load_params(os.path.join(home, "_defaults"))
+    rp.load_params(os.path.join(home, "solvers/compressible/_defaults"))
+    rp.load_params(os.path.join(
+        home, "solvers/compressible/problems/inputs.rt"))
+    for k, v in {"mesh.nx": nx, "mesh.ny": ny, "mesh.ymax": 1.0,
+                 "driver.verbose": 0, "vis.dovis": 0, "io.do_io": 0,
+                 "particles.do_particles": 0}.items():
+        rp.set_param(k, v, no_new=False)
+    problem = importlib.import_module(
+        "pyro2_tpu.solvers.compressible.problems.rt")
+    sim = compressible.Simulation("compressible", "rt",
+                                  problem.init_data, rp)
+    sim.initialize()
+
+    to_p, from_p, fill_p, step_p = \
+        make_pallas_ctu_step_padded_general(sim)
+    sim.cc_data.fill_BC_all()
+    sim.method_compute_timestep()
+    dt = jnp.asarray(sim.dt, jnp.float32)
+    nsteps = 50
+
+    def many(P, dt):
+        def body(carry, _):
+            P, t = carry
+            P = step_p(fill_p(P, t), t, dt)
+            return (P, t + dt), None
+        (P, _), _ = jax.lax.scan(
+            body, (P, jnp.asarray(0.0, jnp.float32)), None, length=nsteps)
+        return P
+    many_j = jax.jit(many)
+    P0 = to_p(sim.cc_data.data.astype(jnp.float32))
+    jax.block_until_ready(many_j(P0, dt))
+    elapsed = _time_best(many_j, P0, dt)
+    zups = nx * ny * nsteps / elapsed
+    _log(f"rt fused: {zups:.3e} zones/s")
+    return {"fused_gravity_rt_zups_512": zups,
+            "fused_gravity_engaged": True}
+
+
 def bench_reference_advection():
     """Zone-updates/s of the reference's numpy advection CTU at N^2."""
     import types
@@ -398,6 +453,12 @@ def main():
             extras.update(bench_driver_loop(sim, rp, dt))
         except Exception as e:
             _log(f"driver-loop bench failed: {e}")
+    if used_pallas:
+        try:
+            extras.update(bench_gravity_fused())
+        except Exception as e:
+            _log(f"gravity fused bench failed: {type(e).__name__}: {e}")
+            extras["fused_gravity_engaged"] = False
     try:
         extras["roofline"] = bench_roofline(sim, zups)
     except Exception as e:

@@ -275,6 +275,275 @@ def _make_up_kernel(level, dx_of, nsmooth, bcs, want_r, dtype, interpret):
 
 
 # ---------------------------------------------------------------------------
+# row-banded peeled levels (sizes > WHOLE_MAX)
+#
+# A level of q = n+2 frame rows is split into n/BAND_ROWS bands; each
+# program DMAs its owned rows plus an H-row halo, runs the SAME smoothing /
+# residual / transfer arithmetic with GLOBAL-index masks (deep-halo
+# redundant compute: each red-black half-sweep shrinks the valid halo by
+# one row, so H = 2*nsmooth + 4 rows keeps the owned rows plus a one-row
+# write margin exact), and writes back BAND_ROWS+2 rows at a clamped
+# offset -- the one-row overlaps between neighboring bands carry identical
+# values, and the edge bands' windows cover the frame's ghost rows, so the
+# full frame (ghosts included) is always written.  Row-direction periodic
+# BCs would need wrap-around halos and are left to the jnp path.
+# ---------------------------------------------------------------------------
+
+def _iotas_g(shape, row0):
+    """(global-row, lane) index grids for a band starting at frame row
+    row0 (row0 is traced: it depends on program_id)."""
+    xi = jax.lax.broadcasted_iota(jnp.int32, shape, 0) + row0
+    yi = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    return xi, yi
+
+
+def _fill_ghost_band(a, bcs, q, row0):
+    """_fill_ghost_ff on a row band: masks use global row indices.  The
+    roll sources for the row edges are in-band because only the edge
+    bands contain the frame's ghost rows."""
+    xi, yi = _iotas_g(a.shape, row0)
+
+    def edge(a, axis, side, kind):
+        ii = xi if axis == 0 else yi
+        m = (ii == 0) if side == 0 else (ii == q - 1)
+        sh = -1 if side == 0 else 1
+        if kind in ("outflow", "neumann", "reflect-even"):
+            src = jnp.roll(a, sh, axis)
+        elif kind in ("dirichlet", "reflect-odd"):
+            src = -jnp.roll(a, sh, axis)
+        else:  # periodic: lanes only (row-periodic is gated Ineligible)
+            src = jnp.roll(a, (q - 2) * sh, axis)
+        return jnp.where(m, src, a)
+
+    a = edge(a, 0, 0, bcs[0])
+    a = edge(a, 0, 1, bcs[1])
+    a = edge(a, 1, 0, bcs[2])
+    a = edge(a, 1, 1, bcs[3])
+    return a
+
+
+def _smooth_band(v, f, n, q, row0, dx, alpha, beta, bcs):
+    """n red-black sweeps on a band; same arithmetic as _smooth_n with
+    global-index red/black/interior masks."""
+    xi, yi = _iotas_g(v.shape, row0)
+    inter = (xi >= 1) & (xi <= q - 2) & (yi >= 1) & (yi <= q - 2)
+    red = inter & (((xi + yi) % 2) == 0)
+    black = inter & (((xi + yi) % 2) == 1)
+    xc = beta / dx ** 2
+    denom = alpha + 4.0 * xc
+
+    def half(v, m):
+        upd = (f + xc * (jnp.roll(v, -1, 0) + jnp.roll(v, 1, 0) +
+                         jnp.roll(v, -1, 1) + jnp.roll(v, 1, 1))) / denom
+        return jnp.where(m, upd, v)
+
+    def body(_, v):
+        v = _fill_ghost_band(half(v, red), bcs, q, row0)
+        v = _fill_ghost_band(half(v, black), bcs, q, row0)
+        return v
+
+    v = _fill_ghost_band(v, bcs, q, row0)
+    return jax.lax.fori_loop(0, n, body, v)
+
+
+def _residual_band(v, f, q, row0, dx, alpha, beta):
+    xi, yi = _iotas_g(v.shape, row0)
+    inter = (xi >= 1) & (xi <= q - 2) & (yi >= 1) & (yi <= q - 2)
+    lap = (jnp.roll(v, -1, 0) + jnp.roll(v, 1, 0) +
+           jnp.roll(v, -1, 1) + jnp.roll(v, 1, 1) - 4.0 * v) / dx ** 2
+    return jnp.where(inter, f - alpha * v + beta * lap,
+                     jnp.asarray(0.0, v.dtype))
+
+
+def _restrict_lane_matrix(qf, dtype):
+    """The (qc, qf) factor-2 averaging matrix (lane side of _restrict_mm)."""
+    qc = (qf - 2) // 2 + 2
+    ri = jax.lax.broadcasted_iota(jnp.int32, (qc, qf), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (qc, qf), 1)
+    ok = (ri >= 1) & (ri <= qc - 2)
+    hit = ((ci == 2 * ri - 1) | (ci == 2 * ri)) & ok
+    return jnp.where(hit, 0.5, 0.0).astype(dtype)
+
+
+def _restrict_band(r, qf, row0, cstart, tc2):
+    """Banded restrict: lane side by matmul with the full lane matrix,
+    row side by a (tc2, B) iota matrix built from global indices."""
+    qc = (qf - 2) // 2 + 2
+    R = _restrict_lane_matrix(qf, r.dtype)
+    tmp = jnp.matmul(r, R.T, precision=_HI)          # (B, qc)
+    B = r.shape[0]
+    li = jax.lax.broadcasted_iota(jnp.int32, (tc2, B), 1) + row0
+    ci = jax.lax.broadcasted_iota(jnp.int32, (tc2, B), 0) + cstart
+    ok = (ci >= 1) & (ci <= qc - 2)
+    hit = ((li == 2 * ci - 1) | (li == 2 * ci)) & ok
+    Rb = jnp.where(hit, 0.5, 0.0).astype(r.dtype)
+    return jnp.matmul(Rb, tmp, precision=_HI)        # (tc2, qc)
+
+
+def _prolong_band(vc, qc, row0, nrows):
+    """Prolongation rows [row0, row0+nrows) from the full coarse frame."""
+    qf = (qc - 2) * 2 + 2
+    ri = jax.lax.broadcasted_iota(jnp.int32, (qf, qc), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (qf, qc), 1)
+    ok = (ci >= 1) & (ci <= qc - 2)
+    lo = (ri == 2 * ci - 1) & ok
+    hi = (ri == 2 * ci) & ok
+    E = jnp.where(lo | hi, 1.0, 0.0).astype(vc.dtype)
+    S = jnp.where(lo, -0.25, jnp.where(hi, 0.25, 0.0)).astype(vc.dtype)
+
+    fi = jax.lax.broadcasted_iota(jnp.int32, (nrows, qc), 0) + row0
+    cj = jax.lax.broadcasted_iota(jnp.int32, (nrows, qc), 1)
+    okb = (cj >= 1) & (cj <= qc - 2)
+    lob = (fi == 2 * cj - 1) & okb
+    hib = (fi == 2 * cj) & okb
+    Eb = jnp.where(lob | hib, 1.0, 0.0).astype(vc.dtype)
+    Sb = jnp.where(lob, -0.25, jnp.where(hib, 0.25, 0.0)).astype(vc.dtype)
+
+    mx = 0.5 * (jnp.roll(vc, -1, 0) - jnp.roll(vc, 1, 0))
+    my = 0.5 * (jnp.roll(vc, -1, 1) - jnp.roll(vc, 1, 1))
+    return (jnp.matmul(Eb, jnp.matmul(vc, E.T, precision=_HI),
+                       precision=_HI)
+            + jnp.matmul(Sb, jnp.matmul(mx, E.T, precision=_HI),
+                         precision=_HI)
+            + jnp.matmul(Eb, jnp.matmul(my, S.T, precision=_HI),
+                         precision=_HI))
+
+
+def _band_geometry(n, nsmooth):
+    T = min(BAND_ROWS, n)
+    H = 2 * nsmooth + 4
+    B = T + 2 * H + 2
+    q = n + 2
+    if B >= q:     # small enough for one band owning the whole frame
+        return n, 0, q, 1
+    return T, H, B, n // T
+
+
+def _make_down_banded(level, dx_of, nsmooth, bcs, dtype, interpret):
+    """Banded descent: pre-smooth + residual + restrict, one band/program."""
+    q = 2 ** (level + 1) + 2
+    n = q - 2
+    qc = n // 2 + 2
+    dx = dx_of(level)
+    T, H, B, nb = _band_geometry(n, nsmooth)
+    tc2 = T // 2 + 2
+
+    def kernel(ab_ref, v_hbm, f_hbm, vo_hbm, fco_hbm,
+               vb, fb, resv, resf, s1, s2, s3, s4):
+        alpha, beta = ab_ref[0], ab_ref[1]
+        i = pl.program_id(0)
+        start = jnp.clip(i * T - H, 0, q - B)
+        cin = pltpu.make_async_copy(v_hbm.at[pl.ds(start, B), :], vb, s1)
+        cin.start()
+        cif = pltpu.make_async_copy(f_hbm.at[pl.ds(start, B), :], fb, s2)
+        cif.start()
+        cin.wait()
+        cif.wait()
+        v = _smooth_band(vb[...], fb[...], nsmooth, q, start, dx,
+                         alpha, beta, bcs)
+        r = _residual_band(v, fb[...], q, start, dx, alpha, beta)
+        resv[...] = v
+        vstart = jnp.clip(i * T, 0, q - (T + 2))
+        co = pltpu.make_async_copy(
+            resv.at[pl.ds(vstart - start, T + 2), :],
+            vo_hbm.at[pl.ds(vstart, T + 2), :], s3)
+        co.start()
+        cstart = jnp.clip(i * (T // 2), 0, qc - tc2)
+        resf[...] = _restrict_band(r, q, start, cstart, tc2)
+        cf = pltpu.make_async_copy(
+            resf, fco_hbm.at[pl.ds(cstart, tc2), :], s4)
+        cf.start()
+        co.wait()
+        cf.wait()
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2,
+        scratch_shapes=[
+            pltpu.VMEM((B, q), dtype), pltpu.VMEM((B, q), dtype),
+            pltpu.VMEM((B, q), dtype), pltpu.VMEM((tc2, qc), dtype),
+            pltpu.SemaphoreType.DMA(()), pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()), pltpu.SemaphoreType.DMA(()),
+        ])
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=[jax.ShapeDtypeStruct((q, q), dtype),
+                   jax.ShapeDtypeStruct((qc, qc), dtype)],
+        grid_spec=grid_spec,
+        compiler_params=_COMPILER_PARAMS,
+        interpret=interpret)
+
+
+def _make_up_banded(level, dx_of, nsmooth, bcs, want_r, dtype, interpret):
+    """Banded ascent: prolong+correct (full coarse frame in VMEM),
+    post-smooth [, residual], one band/program."""
+    q = 2 ** (level + 1) + 2
+    n = q - 2
+    qc = n // 2 + 2
+    dx = dx_of(level)
+    T, H, B, nb = _band_geometry(n, nsmooth)
+
+    def kernel(ab_ref, v_hbm, f_hbm, vc_vmem, *rest):
+        if want_r:
+            vo_hbm, ro_hbm, vb, fb, resv, resr, s1, s2, s3, s4 = rest
+        else:
+            vo_hbm, vb, fb, resv, s1, s2, s3 = rest
+        alpha, beta = ab_ref[0], ab_ref[1]
+        i = pl.program_id(0)
+        start = jnp.clip(i * T - H, 0, q - B)
+        cin = pltpu.make_async_copy(v_hbm.at[pl.ds(start, B), :], vb, s1)
+        cin.start()
+        cif = pltpu.make_async_copy(f_hbm.at[pl.ds(start, B), :], fb, s2)
+        cif.start()
+        cin.wait()
+        cif.wait()
+        v = vb[...] + _prolong_band(vc_vmem[...], qc, start, B)
+        v = _fill_ghost_band(v, bcs, q, start)
+        v = _smooth_band(v, fb[...], nsmooth, q, start, dx, alpha, beta,
+                         bcs)
+        resv[...] = v
+        vstart = jnp.clip(i * T, 0, q - (T + 2))
+        co = pltpu.make_async_copy(
+            resv.at[pl.ds(vstart - start, T + 2), :],
+            vo_hbm.at[pl.ds(vstart, T + 2), :], s3)
+        co.start()
+        if want_r:
+            resr[...] = _residual_band(v, fb[...], q, start, dx, alpha,
+                                       beta)
+            cr = pltpu.make_async_copy(
+                resr.at[pl.ds(vstart - start, T + 2), :],
+                ro_hbm.at[pl.ds(vstart, T + 2), :], s4)
+            cr.start()
+            cr.wait()
+        co.wait()
+
+    n_out = 2 if want_r else 1
+    scratch = [pltpu.VMEM((B, q), dtype), pltpu.VMEM((B, q), dtype),
+               pltpu.VMEM((B, q), dtype)]
+    if want_r:
+        scratch.append(pltpu.VMEM((B, q), dtype))
+    scratch += [pltpu.SemaphoreType.DMA(())] * (3 + (1 if want_r else 0))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2 +
+        [pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * n_out,
+        scratch_shapes=scratch)
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=[jax.ShapeDtypeStruct((q, q), dtype)] * n_out,
+        grid_spec=grid_spec,
+        compiler_params=_COMPILER_PARAMS,
+        interpret=interpret)
+
+
+# ---------------------------------------------------------------------------
 # builder
 # ---------------------------------------------------------------------------
 
@@ -319,20 +588,28 @@ def build_fused_cycle(mg, interpret=False):
         return dx_fine * (2 ** (nlevels - 1 - level))
 
     # split: levels 0..core_top in the fused core, finer levels peeled
+    # (whole-frame kernels up to WHOLE_MAX, row-banded kernels above)
     core_top = nlevels - 1
     while 2 ** (core_top + 1) > CORE_MAX:
         core_top -= 1
     peeled = list(range(core_top + 1, nlevels))   # coarse -> fine order
 
+    banded = [lv for lv in peeled if 2 ** (lv + 1) > WHOLE_MAX]
+    if banded and (bcs[0] == "periodic" or bcs[1] == "periodic"):
+        raise Ineligible(
+            "periodic x BCs need wrap-around halos at banded levels")
+
     core = _make_core_kernel(core_top, dx_of, mg.nsmooth,
                              mg.nsmooth_bottom, bcs,
                              want_r=not peeled, dtype=dtype,
                              interpret=interpret)
-    downs = {lv: _make_down_kernel(lv, dx_of, mg.nsmooth, bcs, dtype,
-                                   interpret) for lv in peeled}
-    ups = {lv: _make_up_kernel(lv, dx_of, mg.nsmooth, bcs,
-                               want_r=(lv == nlevels - 1), dtype=dtype,
-                               interpret=interpret) for lv in peeled}
+    downs = {lv: (_make_down_banded if lv in banded else
+                  _make_down_kernel)(lv, dx_of, mg.nsmooth, bcs, dtype,
+                                     interpret) for lv in peeled}
+    ups = {lv: (_make_up_banded if lv in banded else
+                _make_up_kernel)(lv, dx_of, mg.nsmooth, bcs,
+                                 want_r=(lv == nlevels - 1), dtype=dtype,
+                                 interpret=interpret) for lv in peeled}
 
     dxdy = g.dx * g.dy
 

@@ -120,8 +120,12 @@ def _local_step_fn(tile_rows, ny, dx, dy, gamma, rp_params, ivars_proto,
                             (yi >= NG) & (yi < NG + ny_actual))
                 rho = U[ivars.idens]
                 floor = max(small_dens, float(jnp.finfo(U.dtype).min))
-                U = U.at[ivars.idens].set(
-                    jnp.where(interior, jnp.maximum(rho, floor), rho))
+                # row-list rebuild: .at[i].set lowers to scatter, which
+                # Mosaic cannot lower; stack is a concatenate
+                rows = [U[n] for n in range(ivars.nvar)]
+                rows[ivars.idens] = jnp.where(
+                    interior, jnp.maximum(rho, floor), rho)
+                U = jnp.stack(rows)
 
             U_xl, U_xr, U_yl, U_yr = flx.interface_states(
                 U, my_data, rp, ivars, tc, dt)
@@ -190,12 +194,15 @@ def _local_step_fn(tile_rows, ny, dx, dy, gamma, rp_params, ivars_proto,
                 damp = 1.0 + dt * kappa_f
                 pre_x = out[ivars.ixmom]
                 pre_y = out[ivars.iymom]
-                out = out.at[ivars.ixmom].set(pre_x / damp)
-                out = out.at[ivars.iymom].set(pre_y / damp)
-                dke = 0.5 * ((out[ivars.ixmom] ** 2 +
-                              out[ivars.iymom] ** 2) -
+                new_x = pre_x / damp
+                new_y = pre_y / damp
+                dke = 0.5 * ((new_x ** 2 + new_y ** 2) -
                              (pre_x ** 2 + pre_y ** 2)) / out[ivars.idens]
-                out = out.at[ivars.iener].add(dke)
+                rows = [out[n] for n in range(ivars.nvar)]
+                rows[ivars.ixmom] = new_x
+                rows[ivars.iymom] = new_y
+                rows[ivars.iener] = out[ivars.iener] + dke
+                out = jnp.stack(rows)
         return out[iv_sl]
 
     return step, g

@@ -98,44 +98,48 @@ def get_external_sources(t, dt, U, ivars, rp, myg, *,
                          U_old=None, problem_source=None):
     """External sources: gravity (+ geometric terms in spherical), plus
     any problem heating (reference simulation.py:105-161)."""
-    S = jnp.zeros_like(U)
     grav = rp.get_param("compressible.grav")
     coord = getattr(myg, "coord_type", 0)
+
+    # build S as a row list + stack (not .at scatters): value-identical,
+    # and lowers inside Pallas kernels (Mosaic has no scatter)
+    zero = jnp.zeros_like(U[0])
+    rows = [zero] * ivars.nvar
 
     if U_old is None:
         if coord == 1:
             # gravity is radial; geometric centrifugal/Coriolis-like terms
-            S = S.at[ivars.ixmom].set(U[ivars.idens] * grav)
-            S = S.at[ivars.iener].set(U[ivars.ixmom] * grav)
             x2d = jnp.asarray(myg.x2d)
-            S = S.at[ivars.ixmom].add(U[ivars.iymom] ** 2 /
-                                      (U[ivars.idens] * x2d))
-            S = S.at[ivars.iymom].add(-U[ivars.ixmom] * U[ivars.iymom] /
-                                      U[ivars.idens])
+            rows[ivars.ixmom] = (U[ivars.idens] * grav +
+                                 U[ivars.iymom] ** 2 /
+                                 (U[ivars.idens] * x2d))
+            rows[ivars.iener] = U[ivars.ixmom] * grav
+            rows[ivars.iymom] = (zero - U[ivars.ixmom] * U[ivars.iymom] /
+                                 U[ivars.idens])
         else:
-            S = S.at[ivars.iymom].set(U[ivars.idens] * grav)
-            S = S.at[ivars.iener].set(U[ivars.iymom] * grav)
+            rows[ivars.iymom] = U[ivars.idens] * grav
+            rows[ivars.iener] = U[ivars.iymom] * grav
     else:
         # U ~ U^{n+1} including a full dt*S_old; time-center the energy
         # source with the corrected momentum
         if coord == 1:
-            S = S.at[ivars.ixmom].set(U[ivars.idens] * grav)
+            S_xmom = U[ivars.idens] * grav
             S_old_xmom = U_old[ivars.idens] * grav
-            xmom_new = U[ivars.ixmom] + 0.5 * dt * (S[ivars.ixmom] -
-                                                    S_old_xmom)
-            S = S.at[ivars.iener].set(xmom_new * grav)
+            xmom_new = U[ivars.ixmom] + 0.5 * dt * (S_xmom - S_old_xmom)
             x2d = jnp.asarray(myg.x2d)
-            S = S.at[ivars.ixmom].add(U[ivars.iymom] ** 2 /
-                                      (U[ivars.idens] * x2d))
-            S = S.at[ivars.iymom].add(-U[ivars.ixmom] * U[ivars.iymom] /
-                                      U[ivars.idens])
+            rows[ivars.ixmom] = (S_xmom + U[ivars.iymom] ** 2 /
+                                 (U[ivars.idens] * x2d))
+            rows[ivars.iener] = xmom_new * grav
+            rows[ivars.iymom] = (zero - U[ivars.ixmom] * U[ivars.iymom] /
+                                 U[ivars.idens])
         else:
-            S = S.at[ivars.iymom].set(U[ivars.idens] * grav)
+            S_ymom = U[ivars.idens] * grav
             S_old_ymom = U_old[ivars.idens] * grav
-            ymom_new = U[ivars.iymom] + 0.5 * dt * (S[ivars.iymom] -
-                                                    S_old_ymom)
-            S = S.at[ivars.iener].set(ymom_new * grav)
+            ymom_new = U[ivars.iymom] + 0.5 * dt * (S_ymom - S_old_ymom)
+            rows[ivars.iymom] = S_ymom
+            rows[ivars.iener] = ymom_new * grav
 
+    S = jnp.stack(rows)
     if problem_source:
         S = S + problem_source(myg, U, ivars, rp)
     return S

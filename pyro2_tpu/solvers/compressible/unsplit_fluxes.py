@@ -113,13 +113,24 @@ def apply_source_terms(U_xl, U_xr, U_yl, U_yr, U, t,
         return jnp.where(window_mask, x, 0.0) if window_mask is not None \
             else x
 
+    if _ix.is_full_frame():
+        # Mosaic cannot lower scatter(-add); rebuild the stack row-wise
+        # (a concatenate), bitwise identical to the windowed add
+        def bump(A, n, inc):
+            rows = [A[k] for k in range(A.shape[0])]
+            rows[n] = A[n] + inc
+            return jnp.stack(rows)
+    else:
+        def bump(A, n, inc):
+            return A.at[(n,) + sl].add(inc)
+
     # left states pick up the source of the zone they came from (i-1 / j-1)
     for n_target, src in ((ivars.ixmom, xmom_src), (ivars.iymom, ymom_src),
                           (ivars.iener, E_src)):
-        U_xl = U_xl.at[(n_target,) + sl].add(_m(hdt * src.ip(-1, buf=b)))
-        U_xr = U_xr.at[(n_target,) + sl].add(_m(hdt * src.v(buf=b)))
-        U_yl = U_yl.at[(n_target,) + sl].add(_m(hdt * src.jp(-1, buf=b)))
-        U_yr = U_yr.at[(n_target,) + sl].add(_m(hdt * src.v(buf=b)))
+        U_xl = bump(U_xl, n_target, _m(hdt * src.ip(-1, buf=b)))
+        U_xr = bump(U_xr, n_target, _m(hdt * src.v(buf=b)))
+        U_yl = bump(U_yl, n_target, _m(hdt * src.jp(-1, buf=b)))
+        U_yr = bump(U_yr, n_target, _m(hdt * src.v(buf=b)))
 
     tm_source.end()
     return U_xl, U_xr, U_yl, U_yr

@@ -255,6 +255,75 @@ class TestFusedPallasCycle:
         assert np.max(np.abs(vf - vj)) < 1e-13 * max(1, np.abs(vj).max())
         assert abs(nf - nj) < 1e-12 * max(1.0, nj)
 
+    @pytest.mark.parametrize("bct", [
+        ["dirichlet", "dirichlet", "dirichlet", "dirichlet"],
+        # lane (y) periodic is allowed at banded levels; only ROW
+        # periodic needs wrap halos
+        ["neumann", "neumann", "periodic", "periodic"],
+    ])
+    def test_banded_level_parity(self, bct):
+        """Force row-banding (WHOLE_MAX/BAND_ROWS below the fine grid) so
+        the deep-halo banded DOWN/UP kernels (the >512^2 path) are
+        exercised with multiple bands and clamped edge windows.
+        nsmooth=2 keeps the halo depth below the test's band size."""
+        from pyro2_tpu.multigrid import pallas_mg
+        saved = (pallas_mg.CORE_MAX, pallas_mg.WHOLE_MAX,
+                 pallas_mg.BAND_ROWS)
+        pallas_mg.CORE_MAX = 8
+        pallas_mg.WHOLE_MAX = 16
+        pallas_mg.BAND_ROWS = 8
+        try:
+            MG._CYCLE_CACHE.clear()
+            mg = MG.CellCenterMG2d(64, 64,
+                                   xl_BC_type=bct[0], xr_BC_type=bct[1],
+                                   yl_BC_type=bct[2], yr_BC_type=bct[3],
+                                   alpha=0.7, beta=-1.3, nsmooth=2,
+                                   verbose=0)
+            g = mg.soln_grid
+            f = jnp.asarray(np.sin(2 * np.pi * g.x2d) *
+                            np.cos(4 * np.pi * g.y2d) + 0.3 * g.x2d)
+            v0 = jnp.zeros((g.qx, g.qy), f.dtype)
+            fused = pallas_mg.build_fused_cycle(mg, interpret=True)
+            nlev = mg.nlevels - 1
+
+            def one_cycle(v, ff, params):
+                v = mg._v_cycle(nlev, v, ff, params)
+                r = mg._residual(nlev, v, ff, params)
+                return v, r, ai(r, g).norm()
+
+            p = mg._params()
+            vf, rf, nf = fused(v0, f, p)
+            vj, rj, nj = one_cycle(v0, f, p)
+        finally:
+            (pallas_mg.CORE_MAX, pallas_mg.WHOLE_MAX,
+             pallas_mg.BAND_ROWS) = saved
+        vf, vj = np.asarray(vf), np.asarray(vj)
+        assert np.max(np.abs(vf - vj)) < 1e-13 * max(1, np.abs(vj).max())
+        assert abs(float(nf) - float(nj)) < 1e-12 * max(1.0, float(nj))
+
+    def test_banded_rejects_periodic_rows(self):
+        """Row-periodic BCs cannot band (wrap halos): Ineligible, so the
+        jnp path takes over."""
+        from pyro2_tpu.multigrid import pallas_mg
+        saved = (pallas_mg.CORE_MAX, pallas_mg.WHOLE_MAX,
+                 pallas_mg.BAND_ROWS)
+        pallas_mg.CORE_MAX = 8
+        pallas_mg.WHOLE_MAX = 16
+        pallas_mg.BAND_ROWS = 8
+        try:
+            MG._CYCLE_CACHE.clear()
+            mg = MG.CellCenterMG2d(32, 32,
+                                   xl_BC_type="periodic",
+                                   xr_BC_type="periodic",
+                                   yl_BC_type="periodic",
+                                   yr_BC_type="periodic", verbose=0)
+            import pytest as _pytest
+            with _pytest.raises(pallas_mg.Ineligible):
+                pallas_mg.build_fused_cycle(mg, interpret=True)
+        finally:
+            (pallas_mg.CORE_MAX, pallas_mg.WHOLE_MAX,
+             pallas_mg.BAND_ROWS) = saved
+
     def test_full_solve_interpret(self):
         """End-to-end solve through the fused path (interpret mode)."""
         from pyro2_tpu.multigrid import pallas_mg
