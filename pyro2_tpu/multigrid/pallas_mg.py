@@ -278,15 +278,30 @@ def _make_up_kernel(level, dx_of, nsmooth, bcs, want_r, dtype, interpret):
 # row-banded peeled levels (sizes > WHOLE_MAX)
 #
 # A level of q = n+2 frame rows is split into n/BAND_ROWS bands; each
-# program DMAs its owned rows plus an H-row halo, runs the SAME smoothing /
+# program DMAs its owned rows plus a halo, runs the SAME smoothing /
 # residual / transfer arithmetic with GLOBAL-index masks (deep-halo
 # redundant compute: each red-black half-sweep shrinks the valid halo by
-# one row, so H = 2*nsmooth + 4 rows keeps the owned rows plus a one-row
-# write margin exact), and writes back BAND_ROWS+2 rows at a clamped
-# offset -- the one-row overlaps between neighboring bands carry identical
-# values, and the edge bands' windows cover the frame's ghost rows, so the
-# full frame (ghosts included) is always written.  Row-direction periodic
-# BCs would need wrap-around halos and are left to the jnp path.
+# one row), and writes back an owned window at a clamped offset -- the
+# row overlaps between neighboring bands carry identical values, and the
+# edge bands' windows cover the frame's ghost rows, so the full frame
+# (ghosts included) is always written.  Row-direction periodic BCs would
+# need wrap-around halos and are left to the jnp path.
+#
+# TPU DMA alignment (the round-2 hardware failure): Mosaic requires every
+# HBM row slice -- offset AND size -- to be a multiple of the sublane
+# tiling (8 rows for f32).  q = n+2 is never 8-aligned, so banded levels
+# operate on ROW-PADDED frames of q_pad = roundup(q, 8) rows (padding rows
+# are inert: every mask uses global row indices < q, restrict/prolong
+# matrix rows for out-of-frame indices are exactly zero, and the residual
+# zeroes non-interior rows before any matmul).  The geometry below keeps
+# all offsets/sizes 8-aligned:
+#   * band i owns write window [i*T, i*T + T + 8)   (T = BAND_ROWS, 8|T);
+#   * input band rows [clip(i*T - H_lo, 0, q_pad - B), + B) with
+#     H_lo = roundup(2*nsmooth + 4, 8) and H_hi = H_lo + 16 (the extra 16
+#     covers the coarse write window's fine-row reach 2*(T/2 + 8));
+#   * coarse write window [i*(T/2), + T/2 + 8) on a q_pad-row coarse
+#     frame.
+# Wrappers pad/slice at the kernel boundary so callers see (q, q) frames.
 # ---------------------------------------------------------------------------
 
 def _iotas_g(shape, row0):
@@ -355,44 +370,40 @@ def _residual_band(v, f, q, row0, dx, alpha, beta):
                      jnp.asarray(0.0, v.dtype))
 
 
-def _restrict_lane_matrix(qf, dtype):
-    """The (qc, qf) factor-2 averaging matrix (lane side of _restrict_mm)."""
-    qc = (qf - 2) // 2 + 2
-    ri = jax.lax.broadcasted_iota(jnp.int32, (qc, qf), 0)
-    ci = jax.lax.broadcasted_iota(jnp.int32, (qc, qf), 1)
+def _restrict_band(r, qf, qc, row0, cstart, wc, qcL):
+    """Banded restrict: lane side by matmul with a lane matrix padded to
+    (qcL, qL) (entries outside the logical frame are exactly zero), row
+    side by a (wc, B) iota matrix built from global indices."""
+    B, qL = r.shape
+    ri = jax.lax.broadcasted_iota(jnp.int32, (qcL, qL), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (qcL, qL), 1)
     ok = (ri >= 1) & (ri <= qc - 2)
     hit = ((ci == 2 * ri - 1) | (ci == 2 * ri)) & ok
-    return jnp.where(hit, 0.5, 0.0).astype(dtype)
+    R = jnp.where(hit, 0.5, 0.0).astype(r.dtype)
+    tmp = jnp.matmul(r, R.T, precision=_HI)          # (B, qcL)
+    li = jax.lax.broadcasted_iota(jnp.int32, (wc, B), 1) + row0
+    cri = jax.lax.broadcasted_iota(jnp.int32, (wc, B), 0) + cstart
+    okr = (cri >= 1) & (cri <= qc - 2)
+    hitr = ((li == 2 * cri - 1) | (li == 2 * cri)) & okr
+    Rb = jnp.where(hitr, 0.5, 0.0).astype(r.dtype)
+    return jnp.matmul(Rb, tmp, precision=_HI)        # (wc, qcL)
 
 
-def _restrict_band(r, qf, row0, cstart, tc2):
-    """Banded restrict: lane side by matmul with the full lane matrix,
-    row side by a (tc2, B) iota matrix built from global indices."""
-    qc = (qf - 2) // 2 + 2
-    R = _restrict_lane_matrix(qf, r.dtype)
-    tmp = jnp.matmul(r, R.T, precision=_HI)          # (B, qc)
-    B = r.shape[0]
-    li = jax.lax.broadcasted_iota(jnp.int32, (tc2, B), 1) + row0
-    ci = jax.lax.broadcasted_iota(jnp.int32, (tc2, B), 0) + cstart
-    ok = (ci >= 1) & (ci <= qc - 2)
-    hit = ((li == 2 * ci - 1) | (li == 2 * ci)) & ok
-    Rb = jnp.where(hit, 0.5, 0.0).astype(r.dtype)
-    return jnp.matmul(Rb, tmp, precision=_HI)        # (tc2, qc)
-
-
-def _prolong_band(vc, qc, row0, nrows):
-    """Prolongation rows [row0, row0+nrows) from the full coarse frame."""
-    qf = (qc - 2) * 2 + 2
-    ri = jax.lax.broadcasted_iota(jnp.int32, (qf, qc), 0)
-    ci = jax.lax.broadcasted_iota(jnp.int32, (qf, qc), 1)
+def _prolong_band(vc, qc, row0, nrows, qL):
+    """Prolongation rows [row0, row0+nrows) x qL lanes from the (padded)
+    full coarse frame.  All matrices are zero outside the logical frame,
+    so the zero-padding rows/lanes of `vc` are inert."""
+    qcR, qcL = vc.shape
+    ri = jax.lax.broadcasted_iota(jnp.int32, (qL, qcL), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (qL, qcL), 1)
     ok = (ci >= 1) & (ci <= qc - 2)
     lo = (ri == 2 * ci - 1) & ok
     hi = (ri == 2 * ci) & ok
     E = jnp.where(lo | hi, 1.0, 0.0).astype(vc.dtype)
     S = jnp.where(lo, -0.25, jnp.where(hi, 0.25, 0.0)).astype(vc.dtype)
 
-    fi = jax.lax.broadcasted_iota(jnp.int32, (nrows, qc), 0) + row0
-    cj = jax.lax.broadcasted_iota(jnp.int32, (nrows, qc), 1)
+    fi = jax.lax.broadcasted_iota(jnp.int32, (nrows, qcR), 0) + row0
+    cj = jax.lax.broadcasted_iota(jnp.int32, (nrows, qcR), 1)
     okb = (cj >= 1) & (cj <= qc - 2)
     lob = (fi == 2 * cj - 1) & okb
     hib = (fi == 2 * cj) & okb
@@ -409,14 +420,35 @@ def _prolong_band(vc, qc, row0, nrows):
                          precision=_HI))
 
 
+def _round8(x):
+    return -(-x // 8) * 8
+
+
+def _round128(x):
+    return -(-x // 128) * 128
+
+
 def _band_geometry(n, nsmooth):
+    """Aligned band geometry (T, H_lo, B, W, nb, q_pad); see block comment.
+
+    Validity margins (each red-black half-sweep shrinks band-edge
+    exactness by one row; the residual and the restrict's 2x fine-row
+    reach add more):  H_lo >= 2*nsmooth + 4 covers the low side;
+    H_hi = H_lo + 16 covers the high side's extra  2*(T/2 + 8) - T = 16
+    fine rows read by the coarse write window.  T must be a multiple of
+    16 so both i*T and i*(T/2) are 8-aligned.
+    """
+    q_pad = _round8(n + 2)
     T = min(BAND_ROWS, n)
-    H = 2 * nsmooth + 4
-    B = T + 2 * H + 2
-    q = n + 2
-    if B >= q:     # small enough for one band owning the whole frame
-        return n, 0, q, 1
-    return T, H, B, n // T
+    H_lo = _round8(2 * nsmooth + 4)
+    B = T + 2 * H_lo + 16
+    if T % 16 != 0 or B >= q_pad:  # one band owning the whole frame
+        return n, 0, q_pad, q_pad, 1, q_pad
+    return T, H_lo, B, T + 8, n // T, q_pad
+
+
+def _pad2(a, nr, nc):
+    return jnp.pad(a, ((0, nr - a.shape[0]), (0, nc - a.shape[1])))
 
 
 def _make_down_banded(level, dx_of, nsmooth, bcs, dtype, interpret):
@@ -425,14 +457,20 @@ def _make_down_banded(level, dx_of, nsmooth, bcs, dtype, interpret):
     n = q - 2
     qc = n // 2 + 2
     dx = dx_of(level)
-    T, H, B, nb = _band_geometry(n, nsmooth)
-    tc2 = T // 2 + 2
+    T, H_lo, B, W, nb, q_pad = _band_geometry(n, nsmooth)
+    qc_pad = _round8(qc)
+    qL, qcL = _round128(q), _round128(qc)
+    Wc = qc_pad if nb == 1 else T // 2 + 8
 
     def kernel(ab_ref, v_hbm, f_hbm, vo_hbm, fco_hbm,
                vb, fb, resv, resf, s1, s2, s3, s4):
         alpha, beta = ab_ref[0], ab_ref[1]
         i = pl.program_id(0)
-        start = jnp.clip(i * T - H, 0, q - B)
+        # offsets computed in units of 8 then scaled: Mosaic must PROVE
+        # 8-divisibility of dynamic tile indices; x*8 is provable where
+        # clip(...) or a*8-b*8 of the same value is not
+        st8 = jnp.clip((i * T - H_lo) // 8, 0, (q_pad - B) // 8)
+        start = st8 * 8
         cin = pltpu.make_async_copy(v_hbm.at[pl.ds(start, B), :], vb, s1)
         cin.start()
         cif = pltpu.make_async_copy(f_hbm.at[pl.ds(start, B), :], fb, s2)
@@ -443,15 +481,15 @@ def _make_down_banded(level, dx_of, nsmooth, bcs, dtype, interpret):
                          alpha, beta, bcs)
         r = _residual_band(v, fb[...], q, start, dx, alpha, beta)
         resv[...] = v
-        vstart = jnp.clip(i * T, 0, q - (T + 2))
+        vs8 = jnp.clip(i * (T // 8), 0, (q_pad - W) // 8)
         co = pltpu.make_async_copy(
-            resv.at[pl.ds(vstart - start, T + 2), :],
-            vo_hbm.at[pl.ds(vstart, T + 2), :], s3)
+            resv.at[pl.ds((vs8 - st8) * 8, W), :],
+            vo_hbm.at[pl.ds(vs8 * 8, W), :], s3)
         co.start()
-        cstart = jnp.clip(i * (T // 2), 0, qc - tc2)
-        resf[...] = _restrict_band(r, q, start, cstart, tc2)
+        cs8 = jnp.clip(i * (T // 16), 0, (qc_pad - Wc) // 8)
+        resf[...] = _restrict_band(r, q, qc, start, cs8 * 8, Wc, qcL)
         cf = pltpu.make_async_copy(
-            resf, fco_hbm.at[pl.ds(cstart, tc2), :], s4)
+            resf, fco_hbm.at[pl.ds(cs8 * 8, Wc), :], s4)
         cf.start()
         co.wait()
         cf.wait()
@@ -462,19 +500,25 @@ def _make_down_banded(level, dx_of, nsmooth, bcs, dtype, interpret):
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2,
         out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2,
         scratch_shapes=[
-            pltpu.VMEM((B, q), dtype), pltpu.VMEM((B, q), dtype),
-            pltpu.VMEM((B, q), dtype), pltpu.VMEM((tc2, qc), dtype),
+            pltpu.VMEM((B, qL), dtype), pltpu.VMEM((B, qL), dtype),
+            pltpu.VMEM((B, qL), dtype), pltpu.VMEM((Wc, qcL), dtype),
             pltpu.SemaphoreType.DMA(()), pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()), pltpu.SemaphoreType.DMA(()),
         ])
 
-    return pl.pallas_call(
+    call = pl.pallas_call(
         kernel,
-        out_shape=[jax.ShapeDtypeStruct((q, q), dtype),
-                   jax.ShapeDtypeStruct((qc, qc), dtype)],
+        out_shape=[jax.ShapeDtypeStruct((q_pad, qL), dtype),
+                   jax.ShapeDtypeStruct((qc_pad, qcL), dtype)],
         grid_spec=grid_spec,
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret)
+
+    def down(ab, v, f):
+        vp, fc = call(ab, _pad2(v, q_pad, qL), _pad2(f, q_pad, qL))
+        return vp[:q, :q], fc[:qc, :qc]
+
+    return down
 
 
 def _make_up_banded(level, dx_of, nsmooth, bcs, want_r, dtype, interpret):
@@ -484,7 +528,9 @@ def _make_up_banded(level, dx_of, nsmooth, bcs, want_r, dtype, interpret):
     n = q - 2
     qc = n // 2 + 2
     dx = dx_of(level)
-    T, H, B, nb = _band_geometry(n, nsmooth)
+    T, H_lo, B, W, nb, q_pad = _band_geometry(n, nsmooth)
+    qc_pad = _round8(qc)
+    qL, qcL = _round128(q), _round128(qc)
 
     def kernel(ab_ref, v_hbm, f_hbm, vc_vmem, *rest):
         if want_r:
@@ -493,38 +539,39 @@ def _make_up_banded(level, dx_of, nsmooth, bcs, want_r, dtype, interpret):
             vo_hbm, vb, fb, resv, s1, s2, s3 = rest
         alpha, beta = ab_ref[0], ab_ref[1]
         i = pl.program_id(0)
-        start = jnp.clip(i * T - H, 0, q - B)
+        st8 = jnp.clip((i * T - H_lo) // 8, 0, (q_pad - B) // 8)
+        start = st8 * 8
         cin = pltpu.make_async_copy(v_hbm.at[pl.ds(start, B), :], vb, s1)
         cin.start()
         cif = pltpu.make_async_copy(f_hbm.at[pl.ds(start, B), :], fb, s2)
         cif.start()
         cin.wait()
         cif.wait()
-        v = vb[...] + _prolong_band(vc_vmem[...], qc, start, B)
+        v = vb[...] + _prolong_band(vc_vmem[...], qc, start, B, qL)
         v = _fill_ghost_band(v, bcs, q, start)
         v = _smooth_band(v, fb[...], nsmooth, q, start, dx, alpha, beta,
                          bcs)
         resv[...] = v
-        vstart = jnp.clip(i * T, 0, q - (T + 2))
+        vs8 = jnp.clip(i * (T // 8), 0, (q_pad - W) // 8)
         co = pltpu.make_async_copy(
-            resv.at[pl.ds(vstart - start, T + 2), :],
-            vo_hbm.at[pl.ds(vstart, T + 2), :], s3)
+            resv.at[pl.ds((vs8 - st8) * 8, W), :],
+            vo_hbm.at[pl.ds(vs8 * 8, W), :], s3)
         co.start()
         if want_r:
             resr[...] = _residual_band(v, fb[...], q, start, dx, alpha,
                                        beta)
             cr = pltpu.make_async_copy(
-                resr.at[pl.ds(vstart - start, T + 2), :],
-                ro_hbm.at[pl.ds(vstart, T + 2), :], s4)
+                resr.at[pl.ds((vs8 - st8) * 8, W), :],
+                ro_hbm.at[pl.ds(vs8 * 8, W), :], s4)
             cr.start()
             cr.wait()
         co.wait()
 
     n_out = 2 if want_r else 1
-    scratch = [pltpu.VMEM((B, q), dtype), pltpu.VMEM((B, q), dtype),
-               pltpu.VMEM((B, q), dtype)]
+    scratch = [pltpu.VMEM((B, qL), dtype), pltpu.VMEM((B, qL), dtype),
+               pltpu.VMEM((B, qL), dtype)]
     if want_r:
-        scratch.append(pltpu.VMEM((B, q), dtype))
+        scratch.append(pltpu.VMEM((B, qL), dtype))
     scratch += [pltpu.SemaphoreType.DMA(())] * (3 + (1 if want_r else 0))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -535,12 +582,19 @@ def _make_up_banded(level, dx_of, nsmooth, bcs, want_r, dtype, interpret):
         out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * n_out,
         scratch_shapes=scratch)
 
-    return pl.pallas_call(
+    call = pl.pallas_call(
         kernel,
-        out_shape=[jax.ShapeDtypeStruct((q, q), dtype)] * n_out,
+        out_shape=[jax.ShapeDtypeStruct((q_pad, qL), dtype)] * n_out,
         grid_spec=grid_spec,
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret)
+
+    def up(ab, v, f, vc):
+        outs = call(ab, _pad2(v, q_pad, qL), _pad2(f, q_pad, qL),
+                    _pad2(vc, qc_pad, qcL))
+        return [o[:q, :q] for o in outs]
+
+    return up
 
 
 # ---------------------------------------------------------------------------

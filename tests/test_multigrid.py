@@ -11,6 +11,7 @@ Oracles come from the reference's example/regression scripts:
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 import pyro2_tpu.mesh.boundary as bnd
 from pyro2_tpu.mesh import patch
@@ -265,13 +266,14 @@ class TestFusedPallasCycle:
         """Force row-banding (WHOLE_MAX/BAND_ROWS below the fine grid) so
         the deep-halo banded DOWN/UP kernels (the >512^2 path) are
         exercised with multiple bands and clamped edge windows.
-        nsmooth=2 keeps the halo depth below the test's band size."""
+        nsmooth=2 keeps the halo depth below the test's band size
+        (BAND_ROWS=16: the aligned geometry needs 16 | T)."""
         from pyro2_tpu.multigrid import pallas_mg
         saved = (pallas_mg.CORE_MAX, pallas_mg.WHOLE_MAX,
                  pallas_mg.BAND_ROWS)
         pallas_mg.CORE_MAX = 8
         pallas_mg.WHOLE_MAX = 16
-        pallas_mg.BAND_ROWS = 8
+        pallas_mg.BAND_ROWS = 16
         try:
             MG._CYCLE_CACHE.clear()
             mg = MG.CellCenterMG2d(64, 64,
@@ -309,7 +311,7 @@ class TestFusedPallasCycle:
                  pallas_mg.BAND_ROWS)
         pallas_mg.CORE_MAX = 8
         pallas_mg.WHOLE_MAX = 16
-        pallas_mg.BAND_ROWS = 8
+        pallas_mg.BAND_ROWS = 16
         try:
             MG._CYCLE_CACHE.clear()
             mg = MG.CellCenterMG2d(32, 32,
