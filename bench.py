@@ -360,30 +360,17 @@ def bench_gravity_fused():
     density floor): proves the fused path engages beyond the periodic
     benchmark configuration and reports its throughput."""
     _log("gravity problem (rt) through the general fused kernel")
-    import importlib
-
-    from pyro2_tpu.solvers import compressible
+    from pyro2_tpu.pyro_sim import Pyro
     from pyro2_tpu.solvers.compressible.pallas_step import \
         make_pallas_ctu_step_padded_general
-    from pyro2_tpu.util.runparams import RuntimeParameters
 
     nx, ny = 512, 512
-    home = os.path.join(os.path.dirname(os.path.realpath(__file__)),
-                        "pyro2_tpu")
-    rp = RuntimeParameters()
-    rp.load_params(os.path.join(home, "_defaults"))
-    rp.load_params(os.path.join(home, "solvers/compressible/_defaults"))
-    rp.load_params(os.path.join(
-        home, "solvers/compressible/problems/inputs.rt"))
-    for k, v in {"mesh.nx": nx, "mesh.ny": ny, "mesh.ymax": 1.0,
-                 "driver.verbose": 0, "vis.dovis": 0, "io.do_io": 0,
-                 "particles.do_particles": 0}.items():
-        rp.set_param(k, v, no_new=False)
-    problem = importlib.import_module(
-        "pyro2_tpu.solvers.compressible.problems.rt")
-    sim = compressible.Simulation("compressible", "rt",
-                                  problem.init_data, rp)
-    sim.initialize()
+    p = Pyro("compressible")
+    p.initialize_problem("rt", inputs_dict={
+        "mesh.nx": nx, "mesh.ny": ny, "mesh.ymax": 1.0,
+        "driver.verbose": 0, "vis.dovis": 0, "io.do_io": 0,
+        "particles.do_particles": 0})
+    sim = p.sim
 
     to_p, from_p, fill_p, step_p = \
         make_pallas_ctu_step_padded_general(sim)

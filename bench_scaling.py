@@ -64,14 +64,126 @@ def emit(metric, value, unit, extra=None):
     print(json.dumps(rec))
 
 
+def _time_step(step, *args, reps=3, inner=3):
+    """Best wall-clock of `inner` chained steps (compile excluded)."""
+    import time
+    out = step(*args)
+    jax.block_until_ready(out)
+    best = 1e30
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        a = args
+        for _ in range(inner):
+            out = step(*a)
+            a = (out,) + args[1:]
+        jax.block_until_ready(out)
+        best = min(best, (time.perf_counter() - t0) / inner)
+    return best
+
+
+def measure(out_path):
+    """MEASURED wall-clock scaling on the virtual 8-device mesh.
+
+    This host has 2 vCPUs shared by all virtual devices, so weak-scaling
+    wall time confounds partition overhead with core oversubscription.
+    Two honest measurements are reported:
+
+    * strong/partition overhead: the SAME global problem on the same
+      host threadpool, 1 block vs N blocks.  eff_partition =
+      t(1 block)/t(N blocks) isolates the collective + seam + rim cost
+      the SPMD partitioning adds (XLA-CPU uses one threadpool either
+      way) -- a measured upper bound on what partitioning costs when
+      compute resources are held fixed.
+    * weak scaling: constant per-block size, wall time vs N blocks,
+      with the oversubscription caveat recorded in-band.
+    """
+    import jax.numpy as jnp  # noqa: F811
+    res = {"host_vcpus": os.cpu_count(),
+           "note": "virtual 8-device CPU mesh; all devices share the "
+                   "host threadpool, so weak-scaling time includes "
+                   "core oversubscription; eff_partition holds total "
+                   "work and host resources fixed",
+           "ctu": [], "mg": []}
+
+    NX_STRONG = 256
+    NB_WEAK = 128
+    for ndev in (1, 2, 4, 8):
+        mesh = make_mesh(ndev)
+        px, py = (int(mesh.devices.shape[0]), int(mesh.devices.shape[1]))
+        row = {"ndev": ndev, "mesh": f"{px}x{py}"}
+        for overlap in (False, True):
+            tag = "ovl" if overlap else "seq"
+            sc = ShardedCompressible(_rp(NX_STRONG, NX_STRONG), mesh,
+                                     problem="advect", overlap=overlap)
+            U = sc.init_interior()
+            row[f"t_strong_{tag}_ms"] = round(
+                _time_step(lambda u: sc.step(u, 0.0, 1e-4), U) * 1e3, 3)
+            scw = ShardedCompressible(
+                _rp(NB_WEAK * px, NB_WEAK * py), mesh,
+                problem="advect", overlap=overlap)
+            Uw = scw.init_interior()
+            row[f"t_weak_{tag}_ms"] = round(
+                _time_step(lambda u: scw.step(u, 0.0, 1e-4), Uw) * 1e3, 3)
+        st = collective_stats(
+            lambda u: sc._step(u, 0.0, 1e-4), U)
+        row["halo_bytes_strong"] = st["total_bytes"]
+        row["ppermutes_strong"] = st.get("ppermute", {}).get("count", 0)
+        res["ctu"].append(row)
+        print(json.dumps({"measured_ctu": row}), flush=True)
+
+        mg_row = {"ndev": ndev, "mesh": f"{px}x{py}"}
+        smg = ShardedMG(NX_STRONG, NX_STRONG, mesh, alpha=0.0, beta=-1.0)
+        smg.init_zeros()
+        g = smg.soln_grid
+        rhs = jnp.sin(2 * jnp.pi * jnp.asarray(g.x2d)) * \
+            jnp.sin(2 * jnp.pi * jnp.asarray(g.y2d))
+        smg.init_RHS(rhs)
+        cyc = smg._build_cycle()
+        cp, lp = smg._coarse_params(), smg._local_params()
+        mg_row["t_vcycle_strong_ms"] = round(_time_step(
+            lambda v: cyc(v, smg.f_int, cp, lp)[0], smg.v_int) * 1e3, 3)
+        st = collective_stats(lambda v, f: cyc(v, f, cp, lp),
+                              smg.v_int, smg.f_int)
+        mg_row["halo_bytes"] = st["total_bytes"]
+        mg_row["ppermutes"] = st.get("ppermute", {}).get("count", 0)
+        res["mg"].append(mg_row)
+        print(json.dumps({"measured_mg": mg_row}), flush=True)
+
+    t1 = {r["ndev"]: r for r in res["ctu"]}[1]
+    for r in res["ctu"]:
+        for tag in ("seq", "ovl"):
+            r[f"eff_partition_{tag}"] = round(
+                t1[f"t_strong_{tag}_ms"] / r[f"t_strong_{tag}_ms"], 4)
+            r[f"eff_weak_{tag}"] = round(
+                t1[f"t_weak_{tag}_ms"] / r[f"t_weak_{tag}_ms"], 4)
+    m1 = {r["ndev"]: r for r in res["mg"]}[1]
+    for r in res["mg"]:
+        r["eff_partition"] = round(
+            m1["t_vcycle_strong_ms"] / r["t_vcycle_strong_ms"], 4)
+
+    with open(out_path, "w") as f:
+        json.dump(res, f, indent=1)
+    print(json.dumps({"metric": "measured partition efficiency "
+                      "(CTU 256^2, 8 blocks, overlapped)",
+                      "value": res["ctu"][-1]["eff_partition_ovl"],
+                      "unit": "fraction", "out": out_path}))
+    return 0
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--nx", type=int, default=256)
     ap.add_argument("--ici-gbps", type=float, default=45.0,
                     help="assumed per-link ICI bandwidth (GB/s); the "
                          "comm-time bound scales linearly in 1/this")
+    ap.add_argument("--measure", action="store_true",
+                    help="measured wall-clock scaling table -> "
+                         "BENCH_scaling_r03.json")
     args = ap.parse_args()
     nx = args.nx
+    if args.measure:
+        return measure(os.path.join(os.path.dirname(
+            os.path.realpath(__file__)), "BENCH_scaling_r03.json"))
 
     mesh = make_mesh(8)
     rp = _rp(nx, nx)

@@ -20,10 +20,22 @@ Supported solvers: "compressible" and "swe" -- both expose the pure jitted
 step contract step(U, t, dt) (Simulation._make_step).  The reference has no
 counterpart for any of this (SURVEY.md section 2.9).
 
-Limitations: standard BC types only; the user-extended BCs (hse / ambient /
-ramp / moving_lid) are rejected at construction (they would silently
-mis-fill block seams), as is a grid that does not divide evenly over the
-mesh.
+Extended (user-registered) BCs -- hse / ambient / ramp (reference
+compressible/BC.py:48-182) -- are supported: after the per-variable
+standard halo exchange, the stack-level extended fills run on EVERY block
+and are masked in only on the blocks owning that domain edge (same gating
+as the physical fills in mesh_comm.halo_exchange).  Coordinate-dependent
+fills (ramp) see a grid proxy whose x/y arrays are the block's
+bitwise-global coordinate window, built from traced axis indices with the
+exact Grid2d float expressions (mesh/grid.py:66-72).  The in-step source
+ghost fill (aux_data.fill_bc_stack, unsplit_fluxes.apply_source_terms)
+is replaced by a block-gated fill with NO exchange: source fields are
+pointwise functions of the halo-exchanged state, so their seam ghosts are
+already bitwise-correct and only domain-edge fills apply.
+
+Limitations: a grid must divide evenly over the mesh; problems with
+`source_terms` (global-coordinate heating) are rejected; extended BCs are
+not yet supported by the overlapped (halo-hiding) step variant.
 """
 
 import importlib
@@ -32,6 +44,8 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
+import pyro2_tpu.mesh.boundary as bnd
+from pyro2_tpu.mesh.indexer import _edge_fill
 from pyro2_tpu.parallel.blocks import blockwise_init_interior
 from pyro2_tpu.parallel.mesh_comm import halo_exchange
 from pyro2_tpu.util import profile_pyro
@@ -79,6 +93,12 @@ class ShardedSim:
         self.problem = problem
         self._problem_mod = importlib.import_module(
             f"pyro2_tpu.solvers.{solver}.problems.{problem}")
+        # problem-parameter layering (pyro_sim.py initialize_problem):
+        # PROBLEM_PARAMS provide defaults, caller-set values win
+        for k, v in getattr(self._problem_mod, "PROBLEM_PARAMS",
+                            {}).items():
+            if k not in rp.params:
+                rp.set_param(k, v, no_new=False)
 
         self.mesh = mesh
         self.px = int(mesh.devices.shape[0])
@@ -90,14 +110,6 @@ class ShardedSim:
             raise ValueError("grid must divide evenly over the device mesh")
         self.nx, self.ny = nx, ny
         bx, by = nx // self.px, ny // self.py
-
-        for edge in ("xl", "xr", "yl", "yr"):
-            b = rp.get_param(f"mesh.{edge}boundary")
-            if b not in _SUPPORTED_BCS:
-                raise ValueError(
-                    f"boundary '{b}' is not supported by the sharded path "
-                    "(user-extended BCs would silently mis-fill block "
-                    "seams)")
 
         # a block-LOCAL simulation whose jitted step becomes the shard_map
         # body.  Its problem init is a no-op (real ICs are per-block on
@@ -128,6 +140,31 @@ class ShardedSim:
         self.bcs = [self.local_sim.cc_data.BCs[n] for n in self.names]
         self.nvar = len(self.bcs)
         self.ng = ng
+
+        # BC validation AFTER local initialize (which registers the
+        # solver's extended BCs via define_bc)
+        ext_used = False
+        for edge in ("xl", "xr", "yl", "yr"):
+            b = rp.get_param(f"mesh.{edge}boundary")
+            if b in bnd.ext_bcs:
+                ext_used = True
+            elif b not in _SUPPORTED_BCS:
+                raise ValueError(
+                    f"boundary '{b}' is not supported by the sharded "
+                    "path (it would silently mis-fill block seams)")
+        self._has_ext = ext_used
+        if ext_used and overlap:
+            raise ValueError(
+                "extended BCs are not supported by the overlapped step "
+                "variant yet; use overlap=False")
+        if getattr(self._problem_mod, "source_terms", None) is not None:
+            raise ValueError(
+                "problems with source_terms (global-coordinate heating) "
+                "have no sharded step")
+        if hasattr(self.local_sim, "aux_data"):
+            # in-step source ghost fill -> block-gated, exchange-free
+            self.local_sim.aux_data.fill_bc_stack = \
+                self._make_gated_stack_fill(self.local_sim.aux_data)
 
         if overlap:
             # core-compute ∥ halo-exchange pipelining (parallel/overlap.py):
@@ -163,13 +200,120 @@ class ShardedSim:
             es.yl = jnp.where(iy == 0, one, 0)
             es.yr = jnp.where(iy == self.py - 1, one, 0)
 
-    def _fill_local(self, U):
-        """Per-variable halo exchange of a local padded stack (BCs differ
-        by variable)."""
+    def _owns(self):
+        """Traced per-edge domain-ownership flags for this block."""
+        ix = jax.lax.axis_index("x")
+        iy = jax.lax.axis_index("y")
+        return {"xlb": ix == 0, "xrb": ix == self.px - 1,
+                "ylb": iy == 0, "yrb": iy == self.py - 1}
+
+    def _make_bc_proxy(self, cc, t):
+        """A ccdata stand-in for extended-BC fills inside the shard_map
+        body: local grid statics + TRACED bitwise-global coordinate
+        windows (the exact Grid2d float expressions, mesh/grid.py:66-72,
+        with the block's coordinate shift from the axis indices)."""
         g = self.local_grid
-        return jnp.stack([halo_exchange(U[n], g, self.bcs[n],
-                                        self.px, self.py)
-                          for n in range(self.nvar)])
+
+        class _G:
+            pass
+
+        gp = _G()
+        for a in ("dx", "dy", "ng", "ilo", "ihi", "jlo", "jhi",
+                  "qx", "qy", "nx", "ny"):
+            setattr(gp, a, getattr(g, a))
+        sx = jax.lax.axis_index("x") * g.nx
+        sy = jax.lax.axis_index("y") * g.ny
+        xmin = self.rp.get_param("mesh.xmin")
+        ymin = self.rp.get_param("mesh.ymin")
+        gp.xl = (jnp.arange(g.qx) + sx - g.ng) * g.dx + xmin
+        gp.xr = gp.xl + g.dx
+        gp.x = 0.5 * (gp.xl + gp.xr)
+        gp.yl = (jnp.arange(g.qy) + sy - g.ng) * g.dy + ymin
+        gp.yr = gp.yl + g.dy
+        gp.y = 0.5 * (gp.yl + gp.yr)
+
+        class _Proxy:
+            pass
+
+        pr = _Proxy()
+        pr.grid = gp
+        pr.names = list(cc.names)
+        pr.aux = cc.aux
+        pr.get_aux = cc.aux.get
+        pr.t = t if t is not None else 0.0
+        return pr
+
+    def _apply_ext_fills(self, cc, bcs_list, names, U, t):
+        """Stack-level extended-BC fills, computed on every block and
+        masked in on the owning blocks (same var-then-edge order as the
+        serial fill_bc_stack, patch.py:199-220)."""
+        owns = self._owns()
+        proxy = self._make_bc_proxy(cc, t)
+        for n, name in enumerate(names):
+            bc = bcs_list[n]
+            for edge in ("xlb", "xrb", "ylb", "yrb"):
+                btype = getattr(bc, edge)
+                if btype in bnd.ext_bcs:
+                    filled = bnd.ext_bcs[btype](btype, edge, name,
+                                                proxy, U)
+                    U = jnp.where(owns[edge], filled, U)
+        return U
+
+    def _make_gated_stack_fill(self, aux_cc):
+        """A fill_bc_stack replacement for source-like containers whose
+        ghost values are pointwise functions of the (already exchanged)
+        state: seam ghosts are left at their pointwise values (bitwise
+        what the serial global fill leaves there) and only domain-edge
+        blocks apply the physical/extended fills."""
+        g = self.local_grid
+        px, py = self.px, self.py
+        names = list(aux_cc.names)
+        bcs_list = [aux_cc.BCs[n] for n in names]
+        edges = (("xlb", -2, 0), ("xrb", -2, 1),
+                 ("ylb", -1, 0), ("yrb", -1, 1))
+
+        def fill(stack, t=None):
+            owns = self._owns()
+            for n in range(len(names)):
+                bc = bcs_list[n]
+                a = stack[n]
+                for edge, axis, side in edges:
+                    btype = getattr(bc, edge)
+                    dxy = g.dx if axis == -2 else g.dy
+                    nb = px if axis == -2 else py
+                    if btype == "periodic":
+                        # multi-block wrap ghosts are the neighbor's
+                        # pointwise values (already bitwise-correct);
+                        # an unsplit axis needs the local copy
+                        if nb == 1:
+                            a = _edge_fill(a, g, axis, side, btype,
+                                           None, dxy)
+                        continue
+                    if btype in bnd.ext_bcs:
+                        continue  # stack-level pass below
+                    val = getattr(bc, edge[:2] + "_value")
+                    filled = _edge_fill(a, g, axis, side, btype, val,
+                                        dxy)
+                    a = jnp.where(owns[edge], filled, a)
+                stack = stack.at[n].set(a)
+            if self._has_ext:
+                stack = self._apply_ext_fills(aux_cc, bcs_list, names,
+                                              stack, t)
+            return stack
+
+        return fill
+
+    def _fill_local(self, U, t=None):
+        """Per-variable halo exchange of a local padded stack (BCs differ
+        by variable), then any extended-BC fills on owning blocks."""
+        g = self.local_grid
+        U = jnp.stack([halo_exchange(U[n], g, self.bcs[n],
+                                     self.px, self.py)
+                       for n in range(self.nvar)])
+        if self._has_ext:
+            U = self._apply_ext_fills(self.local_sim.cc_data, self.bcs,
+                                      self.names, U, t)
+        return U
 
     def _build(self):
         ng = self.ng
@@ -180,7 +324,7 @@ class ShardedSim:
             pad = [(0, 0)] * U_int.ndim
             pad[-2] = (ng, ng)
             pad[-1] = (ng, ng)
-            U = self._fill_local(jnp.pad(U_int, pad))
+            U = self._fill_local(jnp.pad(U_int, pad), t)
             self._gate_solid()
             U = local_step(U, t, dt)
             return U[..., ng:-ng, ng:-ng]

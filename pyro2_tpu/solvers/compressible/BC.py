@@ -134,8 +134,10 @@ def user(bc_name, bc_edge, variable, ccdata, stack):
                 post = inflow_post_bc(variable, gamma)
                 pre = inflow_pre_bc(variable, gamma)
                 t = ccdata.t
-                cx = np.stack([myg.x - 0.5 * myg.dx * math.sqrt(3),
-                               myg.x + 0.5 * myg.dx * math.sqrt(3)])  # (2,qx)
+                # jnp.stack: myg.x may be a traced block-global window
+                # in the sharded path (parallel/sharded.py _make_bc_proxy)
+                cx = jnp.stack([myg.x - 0.5 * myg.dx * math.sqrt(3),
+                                myg.x + 0.5 * myg.dx * math.sqrt(3)])  # (2,qx)
                 for j in range(myg.jhi + 1, myg.jhi + myg.ng + 1):
                     sf_up = (1.0 / 6.0 +
                              (myg.y[j] + 0.5 * myg.dy * math.sqrt(3)) /

@@ -478,15 +478,76 @@ class TestShardedSelfSufficiency:
         U_ref = gs.cc_data.data[:, gg.ilo:gg.ihi + 1, gg.jlo:gg.jhi + 1]
         np.testing.assert_array_equal(np.asarray(U2), np.asarray(U_ref))
 
-    def test_extended_bc_rejected(self):
+    def test_unknown_bc_rejected(self):
         rp = _rp(32, 32)
-        rp.set_param("mesh.xlboundary", "hse", no_new=False)
-        import pyro2_tpu.mesh.boundary as bnd
-        from pyro2_tpu.solvers.compressible import BC
-        bnd.define_bc("hse", BC.user, is_solid=False)
+        rp.set_param("mesh.xlboundary", "no-such-bc", no_new=False)
         mesh = make_mesh(8)
-        with pytest.raises(ValueError, match="not supported"):
+        with pytest.raises((ValueError, KeyError)):
             ShardedCompressible(rp, mesh, problem="advect")
+
+
+def _rp_rt(nx=32, ny=48):
+    """rt-problem parameters: gravity, periodic x, hse y (inputs.rt)."""
+    rp = RuntimeParameters()
+    rp.load_params("pyro2_tpu/_defaults")
+    rp.load_params("pyro2_tpu/solvers/compressible/_defaults")
+    for k, v in {"mesh.nx": nx, "mesh.ny": ny,
+                 "mesh.xmax": 1.0, "mesh.ymax": 3.0,
+                 "mesh.xlboundary": "periodic",
+                 "mesh.xrboundary": "periodic",
+                 "mesh.ylboundary": "hse", "mesh.yrboundary": "hse",
+                 "compressible.grav": -1.0,
+                 "driver.verbose": 0, "vis.dovis": 0,
+                 "io.do_io": 0}.items():
+        rp.set_param(k, v, no_new=False)
+    return rp
+
+
+class TestShardedExtendedBCs:
+    """The extended-BC problems (hse/ambient/ramp) on the sharded path:
+    rt (gravity + hse custom BCs, reference compressible/BC.py:48-141)
+    must be partition-invariant."""
+
+    def test_rt_hse_partition_invariance_bitwise(self):
+        """1-device vs 8-device sharded rt agree BITWISE (identical
+        traced program per block; seams replace ghost fills exactly)."""
+        dt = 0.002
+        outs = {}
+        for nd in (1, 8):
+            sc = ShardedCompressible(_rp_rt(), make_mesh(nd),
+                                     problem="rt")
+            U = sc.init_interior()
+            U1 = sc.step(U, 0.0, dt)
+            outs[nd] = np.asarray(sc.step(U1, dt, dt))
+        np.testing.assert_array_equal(outs[1], outs[8])
+
+    def test_rt_hse_matches_serial(self):
+        """Sharded rt vs the serial global Simulation.  Not bitwise: the
+        serial fill runs eagerly while the sharded fill is jitted, and
+        XLA's FMA contraction differs between the two compilations of
+        the hse pressure integration (1-ulp class); rtol 1e-12 is far
+        below any partitioning artifact."""
+        dt = 0.002
+        sc = ShardedCompressible(_rp_rt(), make_mesh(8), problem="rt")
+        U = sc.global_interior()
+        U1 = sc.step(U, 0.0, dt)
+        U2 = np.asarray(sc.step(U1, dt, dt))
+        gs = sc.global_sim
+        gs.dt = dt
+        gs.cc_data.fill_BC_all()
+        gs.evolve()
+        gs.cc_data.t = dt
+        gs.cc_data.fill_BC_all()
+        gs.evolve()
+        gg = gs.cc_data.grid
+        ref = np.asarray(
+            gs.cc_data.data[:, gg.ilo:gg.ihi + 1, gg.jlo:gg.jhi + 1])
+        np.testing.assert_allclose(U2, ref, rtol=1e-12, atol=1e-13)
+
+    def test_ext_bc_with_overlap_rejected(self):
+        with pytest.raises(ValueError, match="overlapped"):
+            ShardedCompressible(_rp_rt(), make_mesh(8), problem="rt",
+                                overlap=True)
 
 
 class TestBlockwiseInit:
