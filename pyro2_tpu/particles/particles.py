@@ -117,9 +117,25 @@ class Particles:
 
         return bilin(u_b), bilin(v_b)
 
+    def advance_pure(self, pos, active, u, v, dt):
+        """PURE midpoint (RK2) advance + boundary enforcement: returns
+        (new_pos, new_active) without touching self.  Used by
+        update_particles and by the on-device driver loop
+        (driver_loop.py), which carries (pos, active) through its scan."""
+        myg = self.sim_data.grid
+        u_b = ai(jnp.asarray(u), myg).v(buf=1)
+        v_b = ai(jnp.asarray(v), myg).v(buf=1)
+
+        u0, v0 = self._interp(u_b, v_b, pos)
+        mid = pos + 0.5 * dt * jnp.stack([u0, v0], axis=1)
+        u1, v1 = self._interp(u_b, v_b, mid)
+        new_pos = pos + dt * jnp.stack([u1, v1], axis=1)
+
+        pos = jnp.where(active[:, None], new_pos, pos)
+        return self._enforce_pure(pos, active)
+
     def update_particles(self, dt, u=None, v=None):
         """Midpoint (RK2) advance with the cell-centered velocity."""
-        myg = self.sim_data.grid
         if (u is None) and (v is None):
             u, v = self.sim_data.get_var("velocity")
         elif u is None:
@@ -127,23 +143,16 @@ class Particles:
         elif v is None:
             v = self.sim_data.get_var("y-velocity")
 
-        u_b = ai(jnp.asarray(u), myg).v(buf=1)
-        v_b = ai(jnp.asarray(v), myg).v(buf=1)
-
-        pos = self.positions
-        u0, v0 = self._interp(u_b, v_b, pos)
-        mid = pos + 0.5 * dt * jnp.stack([u0, v0], axis=1)
-        u1, v1 = self._interp(u_b, v_b, mid)
-        new_pos = pos + dt * jnp.stack([u1, v1], axis=1)
-
-        self.positions = jnp.where(self.active[:, None], new_pos, pos)
-        self.enforce_particle_boundaries()
+        self.positions, self.active = self.advance_pure(
+            self.positions, self.active, u, v, dt)
 
     def enforce_particle_boundaries(self):
         """Apply periodic wrap / reflection / outflow-deletion per edge."""
+        self.positions, self.active = self._enforce_pure(
+            self.positions, self.active)
+
+    def _enforce_pure(self, pos, active):
         myg = self.sim_data.grid
-        pos = self.positions
-        active = self.active
 
         def apply_edge(pos, active, axis, lo, hi, lo_bc, hi_bc):
             c = pos[:, axis]
@@ -176,9 +185,7 @@ class Particles:
                                      bc.xlb, bc.xrb)
             pos, active = apply_edge(pos, active, 1, myg.ymin, myg.ymax,
                                      bc.ylb, bc.yrb)
-
-        self.positions = pos
-        self.active = active
+        return pos, active
 
     # -- I/O ----------------------------------------------------------------
     def write_particles(self, f):

@@ -38,6 +38,24 @@ class Simulation(NullSimulation):
 
         self.problem_func(self.cc_data, self.rp)
         self._step = self._build_step()
+        # jitted-kernel contract for the on-device driver loop
+        # (driver_loop.py): stack-shaped step + raw pre-CFL dt
+        one = self._step
+
+        def stack_step(U, t, dt):
+            return U.at[0].set(one(U[0], dt))
+
+        g = my_grid
+        u = self.rp.get_param("advection.u")
+        v = self.rp.get_param("advection.v")
+        raw = min(g.dx / max(abs(u), self.SMALL),
+                  g.dy / max(abs(v), self.SMALL))
+
+        def dt_fn(U):
+            return jnp.asarray(raw, U.dtype)
+
+        self._contract_step = stack_step
+        self._dt_fn = jax.jit(dt_fn)
 
     def _build_step(self):
         g = self.cc_data.grid
@@ -45,6 +63,16 @@ class Simulation(NullSimulation):
         u = self.rp.get_param("advection.u")
         v = self.rp.get_param("advection.v")
         limiter = self.rp.get_param("advection.limiter")
+
+        # interior mask for the write-back (iota compare, not a
+        # windowed .at[].set: embedding a value derived from `a` back
+        # into `a` mis-lowers on XLA:CPU 0.9 when this step is fused
+        # into a larger program -- deterministic wrong interior values;
+        # the pad+where form is robust and fuses identically on TPU)
+        xi = jax.lax.broadcasted_iota(jnp.int32, (g.qx, g.qy), 0)
+        yi = jax.lax.broadcasted_iota(jnp.int32, (g.qx, g.qy), 1)
+        interior = ((xi >= g.ilo) & (xi <= g.ihi) &
+                    (yi >= g.jlo) & (yi <= g.jhi))
 
         def step(a, dt):
             a = fill_ghost(a, g, bc)
@@ -54,7 +82,8 @@ class Simulation(NullSimulation):
             av = ai(a, g)
             new_v = (av.v() + dt / g.dx * (fx.v() - fx.ip(1))
                      + dt / g.dy * (fy.v() - fy.jp(1)))
-            return a.at[g.ilo:g.ihi + 1, g.jlo:g.jhi + 1].set(new_v)
+            new_full = jnp.pad(new_v, ((g.ng, g.ng), (g.ng, g.ng)))
+            return jnp.where(interior, new_full, a)
 
         return jax.jit(step)
 

