@@ -245,7 +245,7 @@ def bench_mg():
     from pyro2_tpu.multigrid.MG import CellCenterMG2d
 
     out = {}
-    for nmg in (512, 1024):
+    for nmg in (512, 1024, 2048):
         mg = CellCenterMG2d(nmg, nmg, alpha=0.0, beta=-1.0,
                             xl_BC_type="dirichlet", xr_BC_type="dirichlet",
                             yl_BC_type="dirichlet", yr_BC_type="dirichlet",
@@ -271,6 +271,12 @@ def bench_mg():
                 ten_j = jax.jit(ten)
                 jax.block_until_ready(ten_j(v))
                 fused_ms = _time_best(ten_j, v) / 10 * 1e3
+                if nmg == 1024:
+                    # hardware parity vs the jnp cycle (VERDICT r2 item 2)
+                    vj = mg._v_cycle(mg.nlevels - 1, v, f, params)
+                    vf = fn(v, f, params)[0]
+                    out["mg_fused_vs_jnp_maxdiff_1024"] = float(
+                        jnp.max(jnp.abs(vf - vj)))
             except Exception as e:
                 _log(f"fused MG unavailable at {nmg}: "
                      f"{type(e).__name__}: {e}")

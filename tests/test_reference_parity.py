@@ -93,3 +93,82 @@ class TestSphericalParity:
         for var, (mine, ref) in out.items():
             np.testing.assert_allclose(mine, ref, rtol=1e-11, atol=1e-12,
                                        err_msg=var)
+
+
+class TestLongHorizonParity:
+    """Longer-horizon trajectory parity (>= 10 steps) across six solver
+    families at loose tolerance -- dt sequences are data-dependent, so
+    fp drift compounds per step; rtol 1e-8 is far below any
+    discretization-level disagreement (VERDICT r2 item 10)."""
+
+    def test_sod_full_horizon(self):
+        """Full Sod tube to t = 0.2 (reference oracle
+        compressible/tests/sod_x_0076.h5's configuration, narrower)."""
+        cfg = {"mesh.nx": 32, "mesh.ny": 8,
+               "mesh.xmax": 1.0, "mesh.ymax": 0.25,
+               "mesh.xlboundary": "outflow", "mesh.xrboundary": "outflow",
+               "driver.tmax": 0.2}
+        out = _run_pair("compressible", "sod", cfg,
+                        ["density", "energy", "x-momentum"])
+        for var, (mine, ref) in out.items():
+            np.testing.assert_allclose(mine, ref, rtol=1e-8, atol=1e-9,
+                                       err_msg=var)
+
+    def test_dam_horizon(self):
+        cfg = {"mesh.nx": 32, "mesh.ny": 8,
+               "mesh.xmax": 1.0, "mesh.ymax": 0.25,
+               "mesh.xlboundary": "outflow", "mesh.xrboundary": "outflow",
+               "driver.tmax": 0.3}
+        out = _run_pair("swe", "dam", cfg, ["height", "x-momentum"])
+        for var, (mine, ref) in out.items():
+            np.testing.assert_allclose(mine, ref, rtol=1e-8, atol=1e-9,
+                                       err_msg=var)
+
+    def test_advection_smooth_period(self):
+        """One full advection period (the tests' exactness oracle)."""
+        cfg = {"mesh.nx": 16, "mesh.ny": 16, "driver.tmax": 1.0}
+        out = _run_pair("advection", "smooth", cfg, ["density"])
+        for var, (mine, ref) in out.items():
+            np.testing.assert_allclose(mine, ref, rtol=1e-10, atol=1e-12,
+                                       err_msg=var)
+
+    def test_diffusion_gaussian_horizon(self):
+        cfg = {"mesh.nx": 16, "mesh.ny": 16, "driver.tmax": 0.005,
+               "driver.max_steps": 20}
+        out = _run_pair("diffusion", "gaussian", cfg, ["phi"])
+        for var, (mine, ref) in out.items():
+            np.testing.assert_allclose(mine, ref, rtol=1e-9, atol=1e-11,
+                                       err_msg=var)
+
+    def test_incompressible_shear_horizon(self):
+        """Shear layer, >= 10 steps incl. MAC + final projections."""
+        cfg = {"mesh.nx": 16, "mesh.ny": 16, "driver.max_steps": 12,
+               "driver.tmax": 10.0}
+        out = _run_pair("incompressible", "shear", cfg,
+                        ["x-velocity", "y-velocity"])
+        for var, (mine, ref) in out.items():
+            np.testing.assert_allclose(mine, ref, rtol=1e-8, atol=1e-10,
+                                       err_msg=var)
+
+    def test_burgers_horizon(self):
+        cfg = {"mesh.nx": 16, "mesh.ny": 16, "driver.max_steps": 12,
+               "driver.tmax": 10.0}
+        out = _run_pair("burgers", "test", cfg,
+                        ["x-velocity", "y-velocity"])
+        for var, (mine, ref) in out.items():
+            np.testing.assert_allclose(mine, ref, rtol=1e-8, atol=1e-10,
+                                       err_msg=var)
+
+    def test_lm_atm_bubble_horizon(self):
+        """10 steps of the lm_atm bubble: base state, vc-MG projections,
+        numba-stubbed interface kernels on the reference side."""
+        cfg = {"mesh.nx": 16, "mesh.ny": 16, "mesh.xmax": 1.0,
+               "mesh.ymax": 1.0, "driver.max_steps": 10,
+               "driver.tmax": 10.0,
+               "mesh.xlboundary": "periodic", "mesh.xrboundary": "periodic",
+               "mesh.ylboundary": "reflect", "mesh.yrboundary": "outflow"}
+        out = _run_pair("lm_atm", "bubble", cfg,
+                        ["density", "x-velocity", "y-velocity"])
+        for var, (mine, ref) in out.items():
+            np.testing.assert_allclose(mine, ref, rtol=1e-8, atol=1e-10,
+                                       err_msg=var)
