@@ -15,7 +15,8 @@ from jax.sharding import Mesh
 
 from pyro2_tpu.mesh.indexer import _edge_fill
 
-__all__ = ["factor_devices", "make_mesh", "halo_exchange"]
+__all__ = ["factor_devices", "make_mesh", "halo_exchange",
+           "gated_physical_fill", "seam_exchange"]
 
 
 def factor_devices(n):
@@ -112,3 +113,80 @@ def halo_exchange(padded, local_grid, bc, px, py, *, axis_x="x", axis_y="y"):
         padded = jnp.where(iy == py - 1, hi_filled, padded)
 
     return padded
+
+
+def gated_physical_fill(a, local_grid, bc, px, py, *,
+                        axis_x="x", axis_y="y"):
+    """Physical-BC ghost fill on domain-edge-owning blocks only -- NO
+    halo exchange.  For fields whose ghost values are already pointwise
+    functions of an exchanged field (source terms, projection
+    coefficients): seam ghosts are left at their pointwise values
+    (bitwise what a global fill leaves there, since globally they are
+    interior cells) and only the blocks owning a domain edge overwrite
+    their ghosts with the physical fill.  Periodic ghosts are likewise
+    already pointwise-correct, except on an unsplit axis where the local
+    copy applies.  Must run inside shard_map over (axis_x, axis_y).
+    """
+    g = local_grid
+    ix = jax.lax.axis_index(axis_x)
+    iy = jax.lax.axis_index(axis_y)
+    for edge, axis, side, nb, own in (
+            ("xlb", -2, 0, px, ix == 0),
+            ("xrb", -2, 1, px, ix == px - 1),
+            ("ylb", -1, 0, py, iy == 0),
+            ("yrb", -1, 1, py, iy == py - 1)):
+        btype = getattr(bc, edge)
+        dxy = g.dx if axis == -2 else g.dy
+        if btype == "periodic":
+            if nb == 1:
+                a = _edge_fill(a, g, axis, side, btype, None, dxy)
+            continue
+        val = getattr(bc, edge[:2] + "_value")
+        filled = _edge_fill(a, g, axis, side, btype, val, dxy)
+        a = jnp.where(own, filled, a)
+    return a
+
+
+def seam_exchange(a, local_grid, px, py, *, axis_x="x", axis_y="y"):
+    """ppermute exchange of interior-adjacent strips across block seams
+    ONLY: domain-edge blocks keep their local ghost values on the domain
+    side.  For face-centered intermediates (MAC velocities) whose global
+    ghosts are never BC-filled: a block's seam ghosts are globally
+    interior (must carry the neighbor's post-correction values), while
+    its domain-side ghosts hold locally-computed values exactly like the
+    serial global array's.  Must run inside shard_map.
+    """
+    g = local_grid
+    ng = g.ng
+
+    def exchange(a, axis_name, n_blocks, axis):
+        if n_blocks == 1:
+            return a
+        if axis == a.ndim - 2:
+            hi_src = a[..., -2 * ng:-ng, :]
+            lo_src = a[..., ng:2 * ng, :]
+            lo_old = a[..., :ng, :]
+            hi_old = a[..., -ng:, :]
+        else:
+            hi_src = a[..., :, -2 * ng:-ng]
+            lo_src = a[..., :, ng:2 * ng]
+            lo_old = a[..., :, :ng]
+            hi_old = a[..., :, -ng:]
+        from_left = jax.lax.ppermute(hi_src, axis_name,
+                                     _ring_perm(n_blocks))
+        from_right = jax.lax.ppermute(lo_src, axis_name,
+                                      _ring_perm_rev(n_blocks))
+        idx = jax.lax.axis_index(axis_name)
+        lo_new = jnp.where(idx == 0, lo_old, from_left)
+        hi_new = jnp.where(idx == n_blocks - 1, hi_old, from_right)
+        if axis == a.ndim - 2:
+            a = a.at[..., :ng, :].set(lo_new)
+            a = a.at[..., -ng:, :].set(hi_new)
+        else:
+            a = a.at[..., :, :ng].set(lo_new)
+            a = a.at[..., :, -ng:].set(hi_new)
+        return a
+
+    a = exchange(a, axis_x, px, a.ndim - 2)
+    a = exchange(a, axis_y, py, a.ndim - 1)
+    return a

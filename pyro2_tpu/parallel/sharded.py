@@ -265,37 +265,22 @@ class ShardedSim:
         state: seam ghosts are left at their pointwise values (bitwise
         what the serial global fill leaves there) and only domain-edge
         blocks apply the physical/extended fills."""
+        from pyro2_tpu.parallel.mesh_comm import gated_physical_fill
         g = self.local_grid
         px, py = self.px, self.py
         names = list(aux_cc.names)
         bcs_list = [aux_cc.BCs[n] for n in names]
-        edges = (("xlb", -2, 0), ("xrb", -2, 1),
-                 ("ylb", -1, 0), ("yrb", -1, 1))
 
         def fill(stack, t=None):
-            owns = self._owns()
-            for n in range(len(names)):
-                bc = bcs_list[n]
-                a = stack[n]
-                for edge, axis, side in edges:
-                    btype = getattr(bc, edge)
-                    dxy = g.dx if axis == -2 else g.dy
-                    nb = px if axis == -2 else py
-                    if btype == "periodic":
-                        # multi-block wrap ghosts are the neighbor's
-                        # pointwise values (already bitwise-correct);
-                        # an unsplit axis needs the local copy
-                        if nb == 1:
-                            a = _edge_fill(a, g, axis, side, btype,
-                                           None, dxy)
-                        continue
-                    if btype in bnd.ext_bcs:
-                        continue  # stack-level pass below
-                    val = getattr(bc, edge[:2] + "_value")
-                    filled = _edge_fill(a, g, axis, side, btype, val,
-                                        dxy)
-                    a = jnp.where(owns[edge], filled, a)
-                stack = stack.at[n].set(a)
+            for n, bc in enumerate(bcs_list):
+                if any(getattr(bc, e) in bnd.ext_bcs
+                       for e in ("xlb", "xrb", "ylb", "yrb")):
+                    # ext edges handled at stack level below; standard
+                    # edges of the same var still fill here (ext kinds
+                    # no-op inside _edge_fill)
+                    pass
+                stack = stack.at[n].set(
+                    gated_physical_fill(stack[n], g, bc, px, py))
             if self._has_ext:
                 stack = self._apply_ext_fills(aux_cc, bcs_list, names,
                                               stack, t)

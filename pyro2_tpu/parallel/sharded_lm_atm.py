@@ -1,0 +1,551 @@
+"""SPMD low-Mach atmospheric solver over a block-partitioned device mesh.
+
+The distributed twin of solvers/lm_atm (reference pyro/lm_atm/
+simulation.py:36-620): the hyperbolic stages (limited slopes, MAC
+velocities, rho' advection, full states, provisional update) run on each
+device's halo-padded block inside jitted shard_map programs, and both
+variable-coefficient projections run INLINE through the already-sharded
+vc multigrid (ShardedVarCoeffMG.solve_local: psum'd norms,
+all_gather'ed coarse levels).
+
+Because the projection coefficients depend on the evolving density
+(coeff = beta0^2 / rho), each step's coefficient hierarchies are built
+host-side between the two jitted phases -- exactly where the serial
+solver constructs its per-step VarCoeffCCMG2d -- and handed to the
+compiled phases as pytree arguments, so nothing recompiles step to step:
+
+  phase 1: fill -> limits -> MAC velocities -> MAC projection (inline)
+           -> MAC correction -> rho' advection -> eint
+  host   : final-projection coefficient hierarchy from the NEW density
+  phase 2: full interface states -> provisional update -> time-centered
+           buoyancy -> final projection (inline) -> velocity/gradp update
+
+The 1-D hydrostatic base state (rho0, p0, beta0) is global O(ny) data:
+it is computed once at init (the bubble problem's lateral mean + HSE
+prefix integral are inherently global, lm_atm/problems/bubble.py:57-62)
+and every device carries its block-row's padded window.  Problem ICs are
+likewise taken from one global init at construction (the lateral-mean
+base state requires the global density anyway); the evolution itself
+never materializes global 2-D state on one host beyond the per-step
+coefficient gather, which is O(nx*ny) host memory -- lm_atm's reference
+scale is 128^2.
+
+Partition-invariant: identical traced per-block programs, so N-device vs
+1-device runs agree bitwise; vs the serial solver to FP roundoff (psum
+reassociates the convergence-norm sums).
+"""
+
+import importlib
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from pyro2_tpu.mesh import reconstruction
+from pyro2_tpu.mesh.indexer import ai, fill_ghost
+from pyro2_tpu.multigrid.variable_coeff_MG import VarCoeffCCMG2d
+from pyro2_tpu.parallel.mesh_comm import (gated_physical_fill,
+                                          halo_exchange, seam_exchange)
+from pyro2_tpu.parallel.sharded_mg import (ShardedMG, ShardedVarCoeffMG,
+                                           _SUPPORTED_BCS)
+from pyro2_tpu.solvers.lm_atm import LM_atm_interface as lm_interface
+from pyro2_tpu.solvers.lm_atm.simulation import Basestate
+
+__all__ = ["ShardedLMAtm"]
+
+
+def _psum2(x):
+    return jax.lax.psum(jax.lax.psum(x, "x"), "y")
+
+
+def _pmax2(x):
+    return jax.lax.pmax(jax.lax.pmax(x, "x"), "y")
+
+
+class ShardedLMAtm:
+    """Block-partitioned low-Mach atmospheric flow (8-variable state:
+    density, x/y-velocity, eint, phi-MAC, phi, gradp_x, gradp_y sharded
+    P(None, "x", "y"))."""
+
+    def __init__(self, rp, mesh, *, problem="bubble"):
+        from pyro2_tpu.solvers import lm_atm
+
+        self.rp = rp
+        self.mesh = mesh
+        self.px = int(mesh.devices.shape[0])
+        self.py = int(mesh.devices.shape[1])
+        nx = rp.get_param("mesh.nx")
+        ny = rp.get_param("mesh.ny")
+        if nx % self.px != 0 or ny % self.py != 0:
+            raise ValueError("grid must divide evenly over the device mesh")
+        self.nx, self.ny = nx, ny
+        bx, by = nx // self.px, ny // self.py
+
+        problem_mod = importlib.import_module(
+            f"pyro2_tpu.solvers.lm_atm.problems.{problem}")
+        for k, v in getattr(problem_mod, "PROBLEM_PARAMS", {}).items():
+            if k not in rp.params:
+                rp.set_param(k, v, no_new=False)
+
+        # one GLOBAL init: the base state's lateral mean + HSE integral
+        # are global reductions (see module docstring)
+        self.gsim = lm_atm.Simulation("lm_atm", problem,
+                                      problem_mod.init_data, rp)
+        self.gsim.initialize()
+        gg = self.gsim.cc_data.grid
+        self.gg = gg
+        cc = self.gsim.cc_data
+        self.names = list(cc.names)
+        self.bcs = [cc.BCs[n] for n in self.names]
+        for bc in self.bcs:
+            for e in (bc.xlb, bc.xrb, bc.ylb, bc.yrb):
+                if e not in _SUPPORTED_BCS:
+                    raise ValueError(
+                        f"BC '{e}' not supported by the sharded lm_atm "
+                        "path")
+        self.irho = self.names.index("density")
+        self.iu = self.names.index("x-velocity")
+        self.iv = self.names.index("y-velocity")
+        self.iei = self.names.index("eint")
+        self.ipm = self.names.index("phi-MAC")
+        self.iph = self.names.index("phi")
+        self.igx = self.names.index("gradp_x")
+        self.igy = self.names.index("gradp_y")
+        self.bc_dens = cc.BCs["density"]
+        self.bc_yodd = cc.BCs["y-velocity"]
+        self.bc_phi = cc.BCs["phi"]
+
+        # block-local ng=4 grid
+        from pyro2_tpu.mesh.grid import Grid2d
+        self.lg4 = Grid2d(bx, by, ng=4, xmin=0.0, xmax=bx * gg.dx,
+                          ymin=0.0, ymax=by * gg.dy)
+
+        # base-state windows: (py, by + 2*ng) rows, replicated
+        base = self.gsim.base
+        ng = 4
+        self._base_rows = {}
+        for name in ("rho0", "p0", "beta0", "beta0-edges"):
+            d = np.asarray(base[name].d)
+            rows = np.stack([d[iy * by:iy * by + by + 2 * ng]
+                             for iy in range(self.py)])
+            self._base_rows[name] = jnp.asarray(rows)
+        self.base = base
+
+        # ONE sharded vc-MG (phi and phi-MAC share bc_phi); per-step
+        # coefficient hierarchies arrive as solve_local arguments
+        rho = cc.get_var("density")
+        beta0_2d = jnp.asarray(base["beta0"].full2d())
+        self.smg = ShardedVarCoeffMG(
+            nx, ny, mesh, xmin=gg.xmin, xmax=gg.xmax,
+            ymin=gg.ymin, ymax=gg.ymax,
+            xl_BC_type=self.bc_phi.xlb, xr_BC_type=self.bc_phi.xrb,
+            yl_BC_type=self.bc_phi.ylb, yr_BC_type=self.bc_phi.yrb,
+            coeffs=(1.0 / rho) * beta0_2d ** 2, coeffs_bc=self.bc_dens)
+        self.lg1 = self.smg.local_grids[self.smg.nlevels - 1]
+
+        self._sharding = NamedSharding(mesh, P(None, "x", "y"))
+        U = cc.data
+        self.U_int = jax.device_put(
+            U[:, gg.ilo:gg.ihi + 1, gg.jlo:gg.jhi + 1], self._sharding)
+
+        self.limiter = rp.get_param("lm-atmosphere.limiter")
+        self.proj_type = rp.get_param("lm-atmosphere.proj_type")
+        self.grav = rp.get_param("lm-atmosphere.grav")
+        self.gamma = rp.get_param("eos.gamma")
+        self.cfl = rp.get_param("driver.cfl")
+
+        self._phase1 = self._build_phase1()
+        self._phase2 = self._build_phase2()
+        self._dtf = self._build_dt()
+        self._preproj = self._build_preproj()
+
+        self.t = 0.0
+        self.n = 0
+        self.dt = None
+
+    # ------------------------------------------------------------------
+    # host-side helpers
+    # ------------------------------------------------------------------
+    def _global_filled(self, int_arr, bc):
+        """Gather one sharded interior to the host and ghost-fill it on
+        the global grid (feeds the serial coefficient-hierarchy build)."""
+        gg = self.gg
+        a = jnp.zeros((gg.qx, gg.qy), self.U_int.dtype)
+        a = a.at[gg.ilo:gg.ihi + 1, gg.jlo:gg.jhi + 1].set(
+            jnp.asarray(int_arr))
+        return fill_ghost(a, gg, bc)
+
+    def _vc_params(self, rho_int, power):
+        """(coarse_params, local_params) for a projection with
+        coeff = beta0^power / rho, rho given as a sharded interior."""
+        rho = self._global_filled(rho_int, self.bc_dens)
+        beta0_2d = jnp.asarray(self.base["beta0"].full2d())
+        coeff = (1.0 / rho) * beta0_2d ** power
+        serial = VarCoeffCCMG2d(
+            self.nx, self.ny, xmin=self.gg.xmin, xmax=self.gg.xmax,
+            ymin=self.gg.ymin, ymax=self.gg.ymax,
+            xl_BC_type=self.bc_phi.xlb, xr_BC_type=self.bc_phi.xrb,
+            yl_BC_type=self.bc_phi.ylb, yr_BC_type=self.bc_phi.yrb,
+            nsmooth=self.smg.nsmooth,
+            nsmooth_bottom=self.smg.nsmooth_bottom,
+            coeffs=coeff, coeffs_bc=self.bc_dens, verbose=0)
+        cp = {k: ShardedMG._dummy_tail(v, self.smg.k_cross)
+              for k, v in serial._params().items()}
+        rng = range(self.smg.k_cross, self.smg.nlevels)
+        lp = {"eta_x": {k: self.smg._block_layout(
+                  serial.edge_coeffs[k].x, k) for k in rng},
+              "eta_y": {k: self.smg._block_layout(
+                  serial.edge_coeffs[k].y, k) for k in rng}}
+        return cp, lp
+
+    # ------------------------------------------------------------------
+    # in-body building blocks
+    # ------------------------------------------------------------------
+    def _bw(self, name):
+        """The block-row's padded base-state window as a Basestate whose
+        backing array is traced (safe: Basestate only slices .d)."""
+        rows = self._base_rows[name]
+        b = Basestate(self.lg4.ny, ng=self.lg4.ng)
+        b.d = rows[jax.lax.axis_index("y")]
+        return b
+
+    def _fill(self, U):
+        return jnp.stack([
+            halo_exchange(U[i], self.lg4, self.bcs[i], self.px, self.py)
+            for i in range(len(self.names))])
+
+    def _pad(self, U_int):
+        ng = self.lg4.ng
+        return jnp.pad(U_int, ((0, 0), (ng, ng), (ng, ng)))
+
+    def _solve_vc(self, v0_blk, f_blk, cp, lp, rtol):
+        g = self.smg.soln_grid
+        f_int = f_blk[1:-1, 1:-1]
+        sn = jnp.sqrt(g.dx * g.dy * _psum2(jnp.sum(f_int ** 2)))
+        v, r, res, rel, ncyc = self.smg.solve_local(
+            v0_blk, f_blk, cp, lp, rtol, sn)
+        return v
+
+    def _grad_mg(self, phi_blk):
+        """Centered gradient of an (ng=1)-padded MG block on the
+        interior (the serial get_solution_gradient)."""
+        lg1 = self.lg1
+        pv = ai(phi_blk, lg1)
+        gx = 0.5 * (pv.ip(1) - pv.ip(-1)) / lg1.dx
+        gy = 0.5 * (pv.jp(1) - pv.jp(-1)) / lg1.dy
+        return gx, gy
+
+    def _div_beta_U(self, u, v, beta0):
+        """Cell-centered div(beta0 U) on the block interior
+        (simulation._cc_div_beta_U)."""
+        lg4 = self.lg4
+        uv = ai(u, lg4)
+        vv = ai(v, lg4)
+        return (0.5 * jnp.asarray(beta0.v2d()) *
+                (uv.ip(1) - uv.ip(-1)) / lg4.dx +
+                0.5 * (jnp.asarray(beta0.v2dp(1)) * vv.jp(1) -
+                       jnp.asarray(beta0.v2dp(-1)) * vv.jp(-1)) / lg4.dy)
+
+    # ------------------------------------------------------------------
+    # jitted phases
+    # ------------------------------------------------------------------
+    def _build_phase1(self):
+        lg4 = self.lg4
+        ng = lg4.ng
+        limiter = self.limiter
+        g_const = self.grav
+        gamma = self.gamma
+        irho, iu, iv = self.irho, self.iu, self.iv
+        igx, igy, ipm, iei = self.igx, self.igy, self.ipm, self.iei
+        sl = (slice(lg4.ilo, lg4.ihi + 1), slice(lg4.jlo, lg4.jhi + 1))
+
+        def body(U_int, dt, cp_mac, lp_mac):
+            U = self._fill(self._pad(U_int))
+            rho, u, v = U[irho], U[iu], U[iv]
+            gradp_x, gradp_y = U[igx], U[igy]
+            beta0 = self._bw("beta0")
+            beta0_edges = self._bw("beta0-edges")
+            rho0 = self._bw("rho0")
+            p0 = self._bw("p0")
+            beta0_2d = jnp.asarray(beta0.full2d())
+
+            ldelta_rx = reconstruction.limit(rho, lg4, 1, limiter)
+            ldelta_ux = reconstruction.limit(u, lg4, 1, limiter)
+            ldelta_vx = reconstruction.limit(v, lg4, 1, limiter)
+            ldelta_ry = reconstruction.limit(rho, lg4, 2, limiter)
+            ldelta_uy = reconstruction.limit(u, lg4, 2, limiter)
+            ldelta_vy = reconstruction.limit(v, lg4, 2, limiter)
+
+            coeff = gated_physical_fill((1.0 / rho) * beta0_2d, lg4,
+                                        self.bc_dens, self.px, self.py)
+            rhoprime = rho - jnp.asarray(rho0.full2d())
+            source = gated_physical_fill(rhoprime * g_const / rho, lg4,
+                                         self.bc_yodd, self.px, self.py)
+
+            u_MAC, v_MAC = lm_interface.mac_vels(
+                lg4, lg4.dx, lg4.dy, dt, u, v,
+                ldelta_ux, ldelta_vx, ldelta_uy, ldelta_vy,
+                coeff * gradp_x, coeff * gradp_y, source)
+
+            # --- MAC projection (inline sharded vc-MG) ----------------
+            um = ai(u_MAC, lg4)
+            vm = ai(v_MAC, lg4)
+            div_v = (jnp.asarray(beta0.v2d()) *
+                     (um.ip(1) - um.v()) / lg4.dx +
+                     (jnp.asarray(beta0_edges.v2dp(1)) * vm.jp(1) -
+                      jnp.asarray(beta0_edges.v2d()) * vm.v()) / lg4.dy)
+            f_blk = jnp.pad(div_v, 1)
+            phiM = self._solve_vc(0.0 * f_blk, f_blk, cp_mac, lp_mac,
+                                  1.e-12)
+
+            cv = ai(coeff, lg4)
+            pm = ai(jnp.pad(phiM, ng - 1), lg4)
+            bx_ = (0, 1, 0, 0)
+            coeff_x = 0.5 * (cv.ip(-1, buf=bx_) + cv.v(buf=bx_))
+            u_MAC = u_MAC.at[lg4.ilo:lg4.ihi + 2,
+                             lg4.jlo:lg4.jhi + 1].add(
+                -coeff_x * (pm.v(buf=bx_) - pm.ip(-1, buf=bx_)) / lg4.dx)
+            by_ = (0, 0, 0, 1)
+            coeff_y = 0.5 * (cv.jp(-1, buf=by_) + cv.v(buf=by_))
+            v_MAC = v_MAC.at[lg4.ilo:lg4.ihi + 1,
+                             lg4.jlo:lg4.jhi + 2].add(
+                -coeff_y * (pm.v(buf=by_) - pm.jp(-1, buf=by_)) / lg4.dy)
+
+            # seam ghosts of the CORRECTED MAC faces: rho_states/states
+            # read u_MAC at buf=2, and a block's seam ghosts are globally
+            # interior (corrected); domain ghosts stay local-uncorrected
+            # exactly like the serial array's
+            u_MAC = seam_exchange(u_MAC, lg4, self.px, self.py)
+            v_MAC = seam_exchange(v_MAC, lg4, self.px, self.py)
+
+            # --- advect rho' ------------------------------------------
+            rho_xint, rho_yint = lm_interface.rho_states(
+                lg4, lg4.dx, lg4.dy, dt, rho, u_MAC, v_MAC,
+                ldelta_rx, ldelta_ry)
+            rxi = ai(rho_xint, lg4)
+            ryi = ai(rho_yint, lg4)
+            um = ai(u_MAC, lg4)
+            vm = ai(v_MAC, lg4)
+            rho = rho.at[sl].add(
+                -dt * ((rxi.ip(1) * um.ip(1) - rxi.v() * um.v()) / lg4.dx
+                       + (ryi.jp(1) * vm.jp(1) -
+                          ryi.v() * vm.v()) / lg4.dy))
+            rho = halo_exchange(rho, lg4, self.bc_dens, self.px, self.py)
+
+            eint = jnp.asarray(p0.full2d()) / (gamma - 1.0) / rho
+
+            U = U.at[irho].set(rho)
+            U = U.at[iei].set(eint)
+            U = U.at[ipm].set(jnp.pad(phiM, ng - 1))
+            return (U[:, ng:-ng, ng:-ng], U_int[irho],
+                    u_MAC, v_MAC)
+
+        spec = P(None, "x", "y")
+        cspec, lspec = self.smg._param_specs()
+        body = jax.shard_map(
+            body, mesh=self.mesh,
+            in_specs=(spec, P(), cspec, lspec),
+            out_specs=(spec, P("x", "y"), P("x", "y"), P("x", "y")))
+        return jax.jit(body)
+
+    def _build_phase2(self):
+        lg4 = self.lg4
+        ng = lg4.ng
+        limiter = self.limiter
+        g_const = self.grav
+        proj_type = self.proj_type
+        irho, iu, iv = self.irho, self.iu, self.iv
+        igx, igy, iph = self.igx, self.igy, self.iph
+        sl = (slice(lg4.ilo, lg4.ihi + 1), slice(lg4.jlo, lg4.jhi + 1))
+
+        def body(U_int, rho_old_int, u_MAC, v_MAC, dt, cp_fin, lp_fin):
+            U = self._fill(self._pad(U_int))
+            rho, u, v = U[irho], U[iu], U[iv]
+            gradp_x, gradp_y = U[igx], U[igy]
+            phi = U[iph]
+            rho_old = halo_exchange(
+                jnp.pad(rho_old_int, ng), lg4, self.bc_dens,
+                self.px, self.py)
+            beta0 = self._bw("beta0")
+            rho0 = self._bw("rho0")
+            beta0_2d = jnp.asarray(beta0.full2d())
+
+            # limits from the step-start velocities (u, v unchanged by
+            # phase 1 -- bitwise the serial slopes)
+            ldelta_ux = reconstruction.limit(u, lg4, 1, limiter)
+            ldelta_vx = reconstruction.limit(v, lg4, 1, limiter)
+            ldelta_uy = reconstruction.limit(u, lg4, 2, limiter)
+            ldelta_vy = reconstruction.limit(v, lg4, 2, limiter)
+
+            # the serial `source` used by states() comes from rho_OLD
+            rhoprime = rho_old - jnp.asarray(rho0.full2d())
+            source = gated_physical_fill(
+                rhoprime * g_const / rho_old, lg4, self.bc_yodd,
+                self.px, self.py)
+
+            coeff = gated_physical_fill(
+                (2.0 / (rho + rho_old)) * beta0_2d, lg4, self.bc_dens,
+                self.px, self.py)
+
+            u_xint, v_xint, u_yint, v_yint = lm_interface.states(
+                lg4, lg4.dx, lg4.dy, dt, u, v,
+                ldelta_ux, ldelta_vx, ldelta_uy, ldelta_vy,
+                coeff * gradp_x, coeff * gradp_y, source, u_MAC, v_MAC)
+
+            um = ai(u_MAC, lg4)
+            vm = ai(v_MAC, lg4)
+            uxi = ai(u_xint, lg4)
+            vxi = ai(v_xint, lg4)
+            uyi = ai(u_yint, lg4)
+            vyi = ai(v_yint, lg4)
+            advect_x_v = (0.5 * (um.v() + um.ip(1)) *
+                          (uxi.ip(1) - uxi.v()) / lg4.dx +
+                          0.5 * (vm.v() + vm.jp(1)) *
+                          (uyi.jp(1) - uyi.v()) / lg4.dy)
+            advect_y_v = (0.5 * (um.v() + um.ip(1)) *
+                          (vxi.ip(1) - vxi.v()) / lg4.dx +
+                          0.5 * (vm.v() + vm.jp(1)) *
+                          (vyi.jp(1) - vyi.v()) / lg4.dy)
+
+            if proj_type == 1:
+                u = u.at[sl].add(-dt * (advect_x_v +
+                                        ai(gradp_x, lg4).v()))
+                v = v.at[sl].add(-dt * (advect_y_v +
+                                        ai(gradp_y, lg4).v()))
+            else:
+                u = u.at[sl].add(-dt * advect_x_v)
+                v = v.at[sl].add(-dt * advect_y_v)
+
+            # time-centered buoyancy from rho at n+1/2
+            rho_half = 0.5 * (rho + rho_old)
+            rhoprime = rho_half - jnp.asarray(rho0.full2d())
+            source = gated_physical_fill(
+                rhoprime * g_const / rho_half, lg4, self.bc_yodd,
+                self.px, self.py)
+            v = v + dt * source
+
+            u = halo_exchange(u, lg4, self.bcs[iu], self.px, self.py)
+            v = halo_exchange(v, lg4, self.bcs[iv], self.px, self.py)
+
+            # --- final projection (inline sharded vc-MG) --------------
+            div_v = self._div_beta_U(u, v, beta0) / dt
+            f_blk = jnp.pad(div_v, 1)
+            v0 = phi[ng - 1:-(ng - 1), ng - 1:-(ng - 1)]
+            phiN = self._solve_vc(v0, f_blk, cp_fin, lp_fin, 1.e-12)
+
+            gphi_x, gphi_y = self._grad_mg(phiN)
+            coeff_b = ai((1.0 / rho) * beta0_2d, lg4).v()
+            u = u.at[sl].add(-dt * coeff_b * gphi_x)
+            v = v.at[sl].add(-dt * coeff_b * gphi_y)
+
+            if proj_type == 1:
+                gradp_x = gradp_x.at[sl].add(gphi_x)
+                gradp_y = gradp_y.at[sl].add(gphi_y)
+            else:
+                gradp_x = gradp_x.at[sl].set(gphi_x)
+                gradp_y = gradp_y.at[sl].set(gphi_y)
+
+            U = U.at[iu].set(u).at[iv].set(v)
+            U = U.at[iph].set(jnp.pad(phiN, ng - 1))
+            U = U.at[igx].set(gradp_x).at[igy].set(gradp_y)
+            return U[:, ng:-ng, ng:-ng]
+
+        spec = P(None, "x", "y")
+        cspec, lspec = self.smg._param_specs()
+        body = jax.shard_map(
+            body, mesh=self.mesh,
+            in_specs=(spec, P("x", "y"), P("x", "y"), P("x", "y"), P(),
+                      cspec, lspec),
+            out_specs=spec)
+        return jax.jit(body)
+
+    def _build_dt(self):
+        lg4 = self.lg4
+        irho, iu, iv = self.irho, self.iu, self.iv
+        g_const = self.grav
+        cfl = self.cfl
+
+        def body(U_int):
+            U = self._fill(self._pad(U_int))
+            u, v, rho = U[iu], U[iv], U[irho]
+            rho0 = self._bw("rho0")
+            big = jnp.asarray(1.e33, u.dtype)
+            umax = _pmax2(jnp.max(jnp.abs(ai(u, lg4).v())))
+            vmax = _pmax2(jnp.max(jnp.abs(ai(v, lg4).v())))
+            xtmp = jnp.where(umax != 0, lg4.dx / umax, big)
+            ytmp = jnp.where(vmax != 0, lg4.dy / vmax, big)
+            dt = cfl * jnp.minimum(xtmp, ytmp)
+            rhoprime = rho - jnp.asarray(rho0.full2d())
+            F_buoy = _pmax2(jnp.max(
+                jnp.abs(ai(rhoprime * g_const, lg4).v()) /
+                ai(rho, lg4).v()))
+            dt_buoy = jnp.sqrt(2.0 * lg4.dx / F_buoy)
+            return jnp.minimum(dt, dt_buoy)
+
+        spec = P(None, "x", "y")
+        body = jax.shard_map(body, mesh=self.mesh, in_specs=spec,
+                             out_specs=P())
+        return jax.jit(body)
+
+    def _build_preproj(self):
+        """The initial vc projection (preevolve, rtol 1e-10)."""
+        lg4 = self.lg4
+        ng = lg4.ng
+        irho, iu, iv, iph = self.irho, self.iu, self.iv, self.iph
+        sl = (slice(lg4.ilo, lg4.ihi + 1), slice(lg4.jlo, lg4.jhi + 1))
+
+        def body(U_int, cp, lp):
+            U = self._fill(self._pad(U_int))
+            rho, u, v = U[irho], U[iu], U[iv]
+            beta0 = self._bw("beta0")
+            beta0_2d = jnp.asarray(beta0.full2d())
+
+            div_v = self._div_beta_U(u, v, beta0)
+            f_blk = jnp.pad(div_v, 1)
+            phi0 = self._solve_vc(0.0 * f_blk, f_blk, cp, lp, 1.e-10)
+
+            gx, gy = self._grad_mg(phi0)
+            coeff_b = ai((1.0 / rho) * beta0_2d, lg4).v()
+            u = u.at[sl].add(-coeff_b * gx)
+            v = v.at[sl].add(-coeff_b * gy)
+            U = U.at[iu].set(u).at[iv].set(v)
+            U = U.at[iph].set(jnp.pad(phi0, ng - 1))
+            return U[:, ng:-ng, ng:-ng]
+
+        spec = P(None, "x", "y")
+        cspec, lspec = self.smg._param_specs()
+        body = jax.shard_map(body, mesh=self.mesh,
+                             in_specs=(spec, cspec, lspec),
+                             out_specs=spec)
+        return jax.jit(body)
+
+    # ------------------------------------------------------------------
+    # host driver (mirrors the serial Simulation contract)
+    # ------------------------------------------------------------------
+    def method_compute_timestep(self):
+        self.dt = float(self._dtf(self.U_int))
+
+    def preevolve(self):
+        cp, lp = self._vc_params(self.U_int[self.irho], 2)
+        self.U_int = self._preproj(self.U_int, cp, lp)
+        U_orig = self.U_int
+        self.method_compute_timestep()
+        self.evolve(preevolve=True)
+        self.U_int = U_orig.at[self.igx].set(self.U_int[self.igx]) \
+                           .at[self.igy].set(self.U_int[self.igy])
+
+    def evolve(self, preevolve=False):
+        dt = jnp.asarray(self.dt)
+        cp_mac, lp_mac = self._vc_params(self.U_int[self.irho], 2)
+        U1, rho_old, u_MAC, v_MAC = self._phase1(self.U_int, dt,
+                                                 cp_mac, lp_mac)
+        cp_fin, lp_fin = self._vc_params(U1[self.irho], 2)
+        self.U_int = self._phase2(U1, rho_old, u_MAC, v_MAC, dt,
+                                  cp_fin, lp_fin)
+        if not preevolve:
+            self.t += self.dt
+            self.n += 1
+
+    def get_var(self, name):
+        return self.U_int[self.names.index(name)]

@@ -769,3 +769,70 @@ class TestOverlap:
         hs = halo_stats(sc)
         assert hs["halo_bytes_per_step"] == expect
         assert 0.0 < hs["core_fraction"] < 1.0
+
+
+class TestShardedLMAtm:
+    """The sharded low-Mach solver (parallel/sharded_lm_atm.py): both
+    vc projections inline through ShardedVarCoeffMG, hyperbolic stages
+    block-local.  Invariance oracles per SURVEY section 4."""
+
+    CFG = {"mesh.nx": 16, "mesh.ny": 16, "mesh.xmax": 1.0,
+           "mesh.ymax": 1.0,
+           "mesh.xlboundary": "periodic", "mesh.xrboundary": "periodic",
+           "mesh.ylboundary": "reflect", "mesh.yrboundary": "outflow",
+           "bubble.x_pert": 0.5, "bubble.y_pert": 0.35,
+           "bubble.r_pert": 0.15, "bubble.scale_height": 1.0,
+           "driver.verbose": 0, "vis.dovis": 0, "io.do_io": 0}
+
+    def _rp(self):
+        rp = RuntimeParameters()
+        rp.load_params("pyro2_tpu/_defaults")
+        rp.load_params("pyro2_tpu/solvers/lm_atm/_defaults")
+        for k, v in self.CFG.items():
+            rp.set_param(k, v, no_new=False)
+        return rp
+
+    def _run(self, ndev, steps=3):
+        from pyro2_tpu.parallel.sharded_lm_atm import ShardedLMAtm
+        s = ShardedLMAtm(self._rp(), make_mesh(ndev), problem="bubble")
+        s.preevolve()
+        for _ in range(steps):
+            s.method_compute_timestep()
+            s.evolve()
+        return s
+
+    def test_partition_invariance(self):
+        s1 = self._run(1)
+        s8 = self._run(8)
+        assert s1.n == s8.n
+        np.testing.assert_allclose(s1.t, s8.t, rtol=1e-13)
+        np.testing.assert_allclose(np.asarray(s8.U_int),
+                                   np.asarray(s1.U_int),
+                                   rtol=1e-12, atol=1e-13)
+
+    def test_matches_serial(self):
+        """vs the serial lm_atm Simulation on the same rp (FP-roundoff
+        agreement: the MG convergence norms psum-reassociate)."""
+        import importlib
+
+        from pyro2_tpu.solvers import lm_atm
+        s8 = self._run(8)
+        pm = importlib.import_module(
+            "pyro2_tpu.solvers.lm_atm.problems.bubble")
+        rp = self._rp()
+        for k, v in pm.PROBLEM_PARAMS.items():
+            if k not in rp.params:
+                rp.set_param(k, v, no_new=False)
+        gs = lm_atm.Simulation("lm_atm", "bubble", pm.init_data, rp)
+        gs.initialize()
+        gs.cc_data.fill_BC_all()
+        gs.preevolve()
+        for _ in range(3):
+            gs.cc_data.fill_BC_all()
+            gs.method_compute_timestep()
+            gs.evolve()
+        gg = gs.cc_data.grid
+        ref = np.asarray(
+            gs.cc_data.data[:, gg.ilo:gg.ihi + 1, gg.jlo:gg.jhi + 1])
+        np.testing.assert_allclose(np.asarray(s8.U_int), ref,
+                                   rtol=1e-9, atol=1e-10)
