@@ -13,5 +13,7 @@ from pyro2_tpu.parallel.mesh_comm import (factor_devices, halo_exchange,
 from pyro2_tpu.parallel.sharded import (ShardedCompressible, ShardedSim,
                                         ShardedSWE,
                                         make_sharded_compressible_step)
+from pyro2_tpu.parallel.sharded_burgers_viscous import \
+    ShardedBurgersViscous
 from pyro2_tpu.parallel.sharded_lm_atm import ShardedLMAtm
 from pyro2_tpu.parallel.sharded_mg import ShardedMG

@@ -34,7 +34,7 @@ from pyro2_tpu.parallel.mesh_comm import halo_exchange
 from pyro2_tpu.parallel.sharded_mg import _SUPPORTED_BCS, ShardedMG
 from pyro2_tpu.solvers.incompressible import incomp_interface
 
-__all__ = ["ShardedIncompressible"]
+__all__ = ["ShardedIncompressible", "ShardedIncompressibleViscous"]
 
 _POISSON = {"alpha": 0.0, "beta": -1.0}
 
@@ -52,12 +52,21 @@ class ShardedIncompressible:
 
     Holds the (6, nx, ny) global interior (x-velocity, y-velocity,
     phi-MAC, phi, gradp_x, gradp_y) sharded P(None, "x", "y").
+
+    Subclass hooks mirror the serial Simulation's (incompressible/
+    simulation.py other_source_term / do_other_update_velocity):
+    `_viscous_sources` and `_update_velocity`.
     """
 
     SMALL = 1.e-12
+    _SOLVER = "incompressible"
+
+    def _make_local_sim(self, problem, local_rp):
+        from pyro2_tpu.solvers import incompressible
+        return incompressible.Simulation(
+            "incompressible", problem, lambda d, r: None, local_rp)
 
     def __init__(self, rp, mesh, *, problem="shear"):
-        from pyro2_tpu.solvers import incompressible
         from pyro2_tpu.util.runparams import RuntimeParameters
 
         self.rp = rp
@@ -86,8 +95,7 @@ class ShardedIncompressible:
                            xmin + (xmax - xmin) * bx / nx)
         local_rp.set_param("mesh.ymax",
                            ymin + (ymax - ymin) * by / ny)
-        self.local_sim = incompressible.Simulation(
-            "incompressible", problem, lambda d, r: None, local_rp)
+        self.local_sim = self._make_local_sim(problem, local_rp)
         self.local_sim.initialize()
 
         cc = self.local_sim.cc_data
@@ -122,7 +130,10 @@ class ShardedIncompressible:
 
         # block-by-block ICs (never materializes the global padded state)
         problem_mod = importlib.import_module(
-            f"pyro2_tpu.solvers.incompressible.problems.{problem}")
+            f"pyro2_tpu.solvers.{self._SOLVER}.problems.{problem}")
+        for k, v in getattr(problem_mod, "PROBLEM_PARAMS", {}).items():
+            if k not in rp.params:
+                rp.set_param(k, v, no_new=False)
         self.U_int = blockwise_init_interior(cc, problem_mod.init_data,
                                              rp, mesh)
 
@@ -162,6 +173,22 @@ class ShardedIncompressible:
             v0_blk, f_blk, _POISSON, {}, rtol, sn)
         return v
 
+    # subclass hooks (serial twins: other_source_term /
+    # do_other_update_velocity) -- called INSIDE the shard_map body
+    def _viscous_sources(self, u, v):
+        return None, None
+
+    def _update_velocity(self, u, v, advect_x_v, advect_y_v,
+                         gradp_x, gradp_y, dt, sl):
+        """The provisional velocity update (base: advective +
+        optional lagged-gradp subtraction)."""
+        u = u.at[sl].add(-dt * advect_x_v)
+        v = v.at[sl].add(-dt * advect_y_v)
+        if self.proj_type == 1:
+            u = u - dt * gradp_x
+            v = v - dt * gradp_y
+        return u, v
+
     def _build_step(self):
         lg4 = self.lg4
         lg1 = self.lg1
@@ -186,9 +213,10 @@ class ShardedIncompressible:
             ldelta_uy = reconstruction.limit(u, lg4, 2, limiter)
             ldelta_vy = reconstruction.limit(v, lg4, 2, limiter)
 
+            source_x, source_y = self._viscous_sources(u, v)
             u_MAC, v_MAC = incomp_interface.mac_vels(
                 lg4, dt, u, v, ldelta_ux, ldelta_vx, ldelta_uy, ldelta_vy,
-                gradp_x, gradp_y, None, None)
+                gradp_x, gradp_y, source_x, source_y)
 
             # --- MAC projection (edge-centered divergence RHS) ----------
             um = ai(u_MAC, lg4)
@@ -212,7 +240,7 @@ class ShardedIncompressible:
             # --- full interface states + provisional update -------------
             u_xint, v_xint, u_yint, v_yint = incomp_interface.states(
                 lg4, dt, u, v, ldelta_ux, ldelta_vx, ldelta_uy, ldelta_vy,
-                gradp_x, gradp_y, u_MAC, v_MAC, None, None)
+                gradp_x, gradp_y, u_MAC, v_MAC, source_x, source_y)
 
             um = ai(u_MAC, lg4)
             vm = ai(v_MAC, lg4)
@@ -230,11 +258,8 @@ class ShardedIncompressible:
                           0.5 * (vm.v() + vm.jp(1)) *
                           (vyi.jp(1) - vyi.v()) / dy)
 
-            u = u.at[sl].add(-dt * advect_x_v)
-            v = v.at[sl].add(-dt * advect_y_v)
-            if proj_type == 1:
-                u = u - dt * gradp_x
-                v = v - dt * gradp_y
+            u, v = self._update_velocity(u, v, advect_x_v, advect_y_v,
+                                         gradp_x, gradp_y, dt, sl)
 
             u = halo_exchange(u, lg4, self.bcs[iu], self.px, self.py)
             v = halo_exchange(v, lg4, self.bcs[iv], self.px, self.py)
@@ -354,3 +379,108 @@ class ShardedIncompressible:
     def get_var(self, name):
         """The (nx, ny) global interior of one variable (sharded)."""
         return self.U_int[self.names.index(name)]
+
+
+class ShardedIncompressibleViscous(ShardedIncompressible):
+    """Block-partitioned VISCOUS incompressible flow: the projection
+    method with viscous sources and the two Crank-Nicolson parabolic
+    velocity solves run INLINE through ShardedMG (the distributed twin
+    of incompressible_viscous/simulation.py:24-106).
+
+    Standard velocity BCs only (the cavity problem's moving_lid
+    extended BC stays on the serial path)."""
+
+    _SOLVER = "incompressible_viscous"
+
+    def _make_local_sim(self, problem, local_rp):
+        from pyro2_tpu.solvers import incompressible_viscous
+        return incompressible_viscous.Simulation(
+            "incompressible_viscous", problem, lambda d, r: None,
+            local_rp)
+
+    def __init__(self, rp, mesh, *, problem="shear"):
+        super().__init__(rp, mesh, problem=problem)
+        self.nu = rp.get_param("incompressible_viscous.viscosity")
+        # one C-N Helmholtz solver per velocity component's BC config
+        # (alpha/beta arrive traced at solve time: beta = nu dt / 2)
+        bcu = self.bcs[self.iu]
+        bcv = self.bcs[self.iv]
+        xmin = rp.get_param("mesh.xmin")
+        xmax = rp.get_param("mesh.xmax")
+        ymin = rp.get_param("mesh.ymin")
+        ymax = rp.get_param("mesh.ymax")
+        self.smg_u = ShardedMG(
+            self.nx, self.ny, self.mesh, xmin=xmin, xmax=xmax,
+            ymin=ymin, ymax=ymax, alpha=1.0, beta=1.0,
+            xl_BC_type=bcu.xlb, xr_BC_type=bcu.xrb,
+            yl_BC_type=bcu.ylb, yr_BC_type=bcu.yrb)
+        self.smg_v = ShardedMG(
+            self.nx, self.ny, self.mesh, xmin=xmin, xmax=xmax,
+            ymin=ymin, ymax=ymax, alpha=1.0, beta=1.0,
+            xl_BC_type=bcv.xlb, xr_BC_type=bcv.xrb,
+            yl_BC_type=bcv.ylb, yr_BC_type=bcv.yrb)
+        # hooks close over smg_u/smg_v: rebuild the jitted programs
+        self._step = self._build_step()
+        self._dt_fn = self._build_dt()
+        self._preproj = self._build_preproj()
+
+    def _global_interior_mask(self, shape_2d, buf):
+        """1 where a buf-window cell is GLOBAL-interior (serial viscous
+        sources are zero outside the global interior,
+        incompressible_viscous/simulation.py:35-37)."""
+        lg4 = self.lg4
+        ix = jax.lax.axis_index("x")
+        iy = jax.lax.axis_index("y")
+        ri = jax.lax.broadcasted_iota(jnp.int32, shape_2d, 0)
+        ci = jax.lax.broadcasted_iota(jnp.int32, shape_2d, 1)
+        gi = ri - buf + ix * lg4.nx
+        gj = ci - buf + iy * lg4.ny
+        return ((gi >= 0) & (gi < self.nx) &
+                (gj >= 0) & (gj < self.ny))
+
+    def _viscous_sources(self, u, v):
+        """nu * lap(U), nonzero exactly on the global interior: at block
+        seams the buf=2 reads of the serial source see interior values,
+        at global domain edges they see zeros."""
+        lg4 = self.lg4
+        nu = self.nu
+        b = 2
+        lap_u = ai(u, lg4).lap(buf=b)
+        lap_v = ai(v, lg4).lap(buf=b)
+        m = self._global_interior_mask(lap_u.shape, b)
+        sl = (slice(lg4.ilo - b, lg4.ihi + 1 + b),
+              slice(lg4.jlo - b, lg4.jhi + 1 + b))
+        source_x = jnp.zeros_like(u).at[sl].set(
+            jnp.where(m, nu * lap_u, 0.0))
+        source_y = jnp.zeros_like(v).at[sl].set(
+            jnp.where(m, nu * lap_v, 0.0))
+        return source_x, source_y
+
+    def _update_velocity(self, u, v, advect_x_v, advect_y_v,
+                         gradp_x, gradp_y, dt, sl):
+        """Two decoupled C-N parabolic solves (serial
+        do_other_update_velocity), inline through ShardedMG."""
+        lg4 = self.lg4
+        nu = self.nu
+        g1 = self.smg_u.soln_grid
+
+        def solve(smg, w, advect_w, gradp_w):
+            f_v = ai(w, lg4).v() + 0.5 * dt * nu * ai(w, lg4).lap()
+            if self.proj_type == 1:
+                f_v = f_v - dt * (advect_w + ai(gradp_w, lg4).v())
+            else:
+                f_v = f_v - dt * advect_w
+            f_blk = jnp.pad(f_v, 1)
+            ng = lg4.ng
+            guess = w[ng - 1:-(ng - 1), ng - 1:-(ng - 1)]
+            f_int = f_blk[1:-1, 1:-1]
+            sn = jnp.sqrt(g1.dx * g1.dy * _psum2(jnp.sum(f_int ** 2)))
+            params = {"alpha": jnp.asarray(1.0, w.dtype),
+                      "beta": (0.5 * dt * nu).astype(w.dtype)}
+            sol, r, res, rel, ncyc = smg.solve_local(
+                guess, f_blk, params, {}, 1.e-12, sn)
+            return w.at[sl].set(sol[1:-1, 1:-1])
+
+        u = solve(self.smg_u, u, advect_x_v, gradp_x)
+        v = solve(self.smg_v, v, advect_y_v, gradp_y)
+        return u, v

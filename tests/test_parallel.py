@@ -549,6 +549,53 @@ class TestShardedExtendedBCs:
             ShardedCompressible(_rp_rt(), make_mesh(8), problem="rt",
                                 overlap=True)
 
+    def test_ramp_partition_invariance_bitwise(self):
+        """The double-Mach-reflection "ramp" BC is coordinate- AND
+        time-dependent (reference compressible/BC.py:183+): exercises
+        the traced bitwise-global coordinate proxy.  1-dev vs 8-dev
+        AND vs the serial step: bitwise."""
+        def rp_():
+            rp = RuntimeParameters()
+            rp.load_params("pyro2_tpu/_defaults")
+            rp.load_params("pyro2_tpu/solvers/compressible/_defaults")
+            for k, v in {"mesh.nx": 32, "mesh.ny": 16,
+                         "mesh.xmax": 4.0, "mesh.ymax": 1.0,
+                         "mesh.xlboundary": "ramp",
+                         "mesh.xrboundary": "outflow",
+                         "mesh.ylboundary": "ramp",
+                         "mesh.yrboundary": "ramp",
+                         "compressible.limiter": 2,
+                         "compressible.cvisc": 0.1,
+                         "driver.verbose": 0, "vis.dovis": 0,
+                         "io.do_io": 0}.items():
+                rp.set_param(k, v, no_new=False)
+            return rp
+
+        dt = 1e-4
+        outs = {}
+        for nd in (1, 8):
+            sc = ShardedCompressible(rp_(), make_mesh(nd), problem="ramp")
+            U = sc.init_interior()
+            t = 0.0
+            for _ in range(2):
+                U = sc.step(U, t, dt)
+                t += dt
+            outs[nd] = np.asarray(U)
+        np.testing.assert_array_equal(outs[1], outs[8])
+
+        sc = ShardedCompressible(rp_(), make_mesh(8), problem="ramp")
+        gs = sc.global_sim
+        gs.dt = dt
+        gs.cc_data.t = 0.0
+        gs.cc_data.fill_BC_all()
+        gs.evolve()
+        gs.cc_data.fill_BC_all()
+        gs.evolve()
+        gg = gs.cc_data.grid
+        ref = np.asarray(
+            gs.cc_data.data[:, gg.ilo:gg.ihi + 1, gg.jlo:gg.jhi + 1])
+        np.testing.assert_array_equal(outs[8], ref)
+
 
 class TestBlockwiseInit:
     """Per-block problem initialization must agree bitwise with global
@@ -836,3 +883,130 @@ class TestShardedLMAtm:
             gs.cc_data.data[:, gg.ilo:gg.ihi + 1, gg.jlo:gg.jhi + 1])
         np.testing.assert_allclose(np.asarray(s8.U_int), ref,
                                    rtol=1e-9, atol=1e-10)
+
+
+class TestShardedIncompressibleViscous:
+    """The sharded viscous tier (parallel/sharded_incompressible.py
+    ShardedIncompressibleViscous): viscous interface sources + two
+    inline C-N parabolic ShardedMG solves per step."""
+
+    def _rp(self):
+        rp = RuntimeParameters()
+        rp.load_params("pyro2_tpu/_defaults")
+        rp.load_params(
+            "pyro2_tpu/solvers/incompressible_viscous/_defaults")
+        for k, v in {"mesh.nx": 16, "mesh.ny": 16,
+                     "mesh.xlboundary": "periodic",
+                     "mesh.xrboundary": "periodic",
+                     "mesh.ylboundary": "periodic",
+                     "mesh.yrboundary": "periodic",
+                     "incompressible_viscous.viscosity": 0.005,
+                     "driver.verbose": 0, "vis.dovis": 0,
+                     "io.do_io": 0}.items():
+            rp.set_param(k, v, no_new=False)
+        return rp
+
+    def _run(self, ndev):
+        from pyro2_tpu.parallel.sharded_incompressible import \
+            ShardedIncompressibleViscous
+        s = ShardedIncompressibleViscous(self._rp(), make_mesh(ndev),
+                                         problem="shear")
+        s.preevolve()
+        for _ in range(3):
+            s.method_compute_timestep()
+            s.evolve()
+        return s
+
+    def test_partition_invariance_bitwise(self):
+        s1 = self._run(1)
+        s8 = self._run(8)
+        assert s1.n == s8.n and s1.t == s8.t
+        np.testing.assert_array_equal(np.asarray(s1.U_int),
+                                      np.asarray(s8.U_int))
+
+    def test_matches_serial(self):
+        import importlib
+
+        from pyro2_tpu.solvers import incompressible_viscous
+        s8 = self._run(8)
+        pm = importlib.import_module(
+            "pyro2_tpu.solvers.incompressible_viscous.problems.shear")
+        rp = self._rp()
+        for k, v in pm.PROBLEM_PARAMS.items():
+            if k not in rp.params:
+                rp.set_param(k, v, no_new=False)
+        gs = incompressible_viscous.Simulation(
+            "incompressible_viscous", "shear", pm.init_data, rp)
+        gs.initialize()
+        gs.cc_data.fill_BC_all()
+        gs.preevolve()
+        for _ in range(3):
+            gs.cc_data.fill_BC_all()
+            gs.method_compute_timestep()
+            gs.evolve()
+        gg = gs.cc_data.grid
+        ref = np.asarray(
+            gs.cc_data.data[:, gg.ilo:gg.ihi + 1, gg.jlo:gg.jhi + 1])
+        np.testing.assert_allclose(np.asarray(s8.U_int), ref,
+                                   rtol=1e-11, atol=1e-12)
+
+
+class TestShardedBurgersViscous:
+    """The sharded viscous-Burgers tier: CTU advective stage + two
+    inline C-N Helmholtz solves (parallel/sharded_burgers_viscous.py)."""
+
+    def _rp(self):
+        rp = RuntimeParameters()
+        rp.load_params("pyro2_tpu/_defaults")
+        rp.load_params("pyro2_tpu/solvers/burgers_viscous/_defaults")
+        for k, v in {"mesh.nx": 16, "mesh.ny": 16,
+                     "mesh.xlboundary": "periodic",
+                     "mesh.xrboundary": "periodic",
+                     "mesh.ylboundary": "periodic",
+                     "mesh.yrboundary": "periodic",
+                     "diffusion.eps": 0.005,
+                     "driver.verbose": 0, "vis.dovis": 0,
+                     "io.do_io": 0}.items():
+            rp.set_param(k, v, no_new=False)
+        return rp
+
+    def _run(self, ndev):
+        from pyro2_tpu.parallel.sharded_burgers_viscous import \
+            ShardedBurgersViscous
+        s = ShardedBurgersViscous(self._rp(), make_mesh(ndev),
+                                  problem="tophat")
+        for _ in range(3):
+            s.method_compute_timestep()
+            s.evolve()
+        return s
+
+    def test_partition_invariance_bitwise(self):
+        s1 = self._run(1)
+        s8 = self._run(8)
+        assert s1.n == s8.n and s1.t == s8.t
+        np.testing.assert_array_equal(np.asarray(s1.U_int),
+                                      np.asarray(s8.U_int))
+
+    def test_matches_serial(self):
+        import importlib
+
+        from pyro2_tpu.solvers import burgers_viscous
+        s8 = self._run(8)
+        pm = importlib.import_module(
+            "pyro2_tpu.solvers.burgers_viscous.problems.tophat")
+        rp = self._rp()
+        for k, v in getattr(pm, "PROBLEM_PARAMS", {}).items():
+            if k not in rp.params:
+                rp.set_param(k, v, no_new=False)
+        gs = burgers_viscous.Simulation("burgers_viscous", "tophat",
+                                        pm.init_data, rp)
+        gs.initialize()
+        for _ in range(3):
+            gs.cc_data.fill_BC_all()
+            gs.method_compute_timestep()
+            gs.evolve()
+        gg = gs.cc_data.grid
+        ref = np.asarray(
+            gs.cc_data.data[:, gg.ilo:gg.ihi + 1, gg.jlo:gg.jhi + 1])
+        np.testing.assert_allclose(np.asarray(s8.U_int), ref,
+                                   rtol=1e-11, atol=1e-12)
