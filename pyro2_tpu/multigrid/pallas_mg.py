@@ -189,8 +189,11 @@ _COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
 
 def _make_core_kernel(top_level, dx_of, nsmooth, nsmooth_bottom, bcs,
-                      want_r, dtype, interpret):
-    """One kernel running the complete V-cycle for levels 0..top_level."""
+                      want_r, dtype, interpret, vma=None):
+    """One kernel running the complete V-cycle for levels 0..top_level.
+
+    vma: varying-mesh-axes set for the outputs when the kernel runs
+    inside shard_map (the sharded MG's replicated coarse solve)."""
 
     def vcycle(level, v, f, alpha, beta):
         q = 2 ** (level + 1) + 2
@@ -216,11 +219,16 @@ def _make_core_kernel(top_level, dx_of, nsmooth, nsmooth_bottom, bcs,
                                          alpha, beta)
 
     n_out = 2 if want_r else 1
+    if vma is None:
+        out_shape = [jax.ShapeDtypeStruct((q, q), dtype)] * n_out
+    else:
+        out_shape = [jax.ShapeDtypeStruct((q, q), dtype,
+                                          vma=vma)] * n_out
     return pl.pallas_call(
         kernel,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + _vmem_specs(2),
         out_specs=_vmem_specs(n_out),
-        out_shape=[jax.ShapeDtypeStruct((q, q), dtype)] * n_out,
+        out_shape=out_shape,
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret)
 

@@ -1,0 +1,221 @@
+"""Fused Pallas TPU kernels for the SHARDED (deep-halo) multigrid.
+
+The sharded V-cycle (parallel/sharded_mg.py) already cuts the collective
+count ~20x with deep-halo smoothing; this module moves the arithmetic of
+each level visit into Pallas kernels so a multi-chip V-cycle also keeps
+the single-chip fused-kernel win (multigrid/pallas_mg.py: 5.8x over the
+jnp cycle at 512^2).  Per sharded level and per smoothing round, ONE
+kernel runs all the round's red-black sweeps on the local deep frame in
+VMEM -- with the same shrinking-validity masks and per-half-sweep
+physical ghost refresh as the jnp deep smoother, so the result matches it
+to f32 roundoff (and the serial schedule arithmetically, see
+sharded_mg.py).  The final pre-smoothing round fuses the residual and the
+factor-2 restriction (as iota-built matmuls on the MXU, the pallas_mg
+trick); the replicated sub-crossover recursion reuses pallas_mg's fused
+CORE kernel verbatim on the gathered global coarse problem.
+
+Kernel count per V-cycle: 2-3 per sharded level + 1 core kernel -- on a
+1x1 mesh (no seams) the structure collapses to exactly the serial fused
+cycle's DOWN/UP/CORE shape.
+
+Static per kernel: level geometry (frame extents, halo depth d, sweep
+count), BC kinds, dx, dtype.  Dynamic (SMEM): alpha/beta and the 8 seam/
+edge-ownership flags derived from the block's mesh coordinates -- so one
+compiled kernel serves every device position SPMD-style.
+
+Constant-coefficient, homogeneous standard BCs only (the eligibility
+surface of pallas_mg); anything else stays on the jnp deep path.
+"""
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pyro2_tpu.multigrid import pallas_mg
+
+__all__ = ["build_deep_smooth_kernel", "build_core_kernel", "SUPPORTED_BCS"]
+
+SUPPORTED_BCS = pallas_mg._SUPPORTED_BCS
+
+_COMPILER_PARAMS = pallas_mg._COMPILER_PARAMS
+_HI = pallas_mg._HI
+
+
+def _frame_iotas(Fx, Fy):
+    xi = jax.lax.broadcasted_iota(jnp.int32, (Fx, Fy), 0)
+    yi = jax.lax.broadcasted_iota(jnp.int32, (Fx, Fy), 1)
+    return xi, yi
+
+
+def _make_masks(bx, by, dpx, dpy):
+    """Excess-distance grids (cells beyond the owned interior, per side)
+    and the global red parity on the (bx+2*dpx, by+2*dpy) frame."""
+    Fx, Fy = bx + 2 * dpx, by + 2 * dpy
+    xi, yi = _frame_iotas(Fx, Fy)
+    exl = jnp.maximum(dpx - xi, 0)
+    exr = jnp.maximum(xi - (dpx + bx - 1), 0)
+    eyl = jnp.maximum(dpy - yi, 0)
+    eyr = jnp.maximum(yi - (dpy + by - 1), 0)
+    red = ((xi - dpx) + (yi - dpy)) % 2 == 0
+    return exl, exr, eyl, eyr, red
+
+
+def _edge_plan(bc, px, py):
+    """Static refresh plan: list of (axis, side, kind, flag_index, b_attr)
+    for the edges that need a per-half-sweep ghost refresh.  Split
+    periodic axes need none (the seam exchange IS the periodic fill)."""
+    plan = []
+    for axis, p, (lb, rb) in ((0, px, (bc.xlb, bc.xrb)),
+                              (1, py, (bc.ylb, bc.yrb))):
+        if lb == "periodic":
+            if p == 1:
+                plan.append((axis, 0, "periodic", None))
+                plan.append((axis, 1, "periodic", None))
+        else:
+            # ownership flag slots 4..7: xl, xr, yl, yr
+            plan.append((axis, 0, lb, 4 + 2 * axis))
+            plan.append((axis, 1, rb, 4 + 2 * axis + 1))
+    return plan
+
+
+def build_deep_smooth_kernel(*, bx, by, dpx, dpy, d, n_sweeps, dx, dy,
+                             bc, px, py, emit="v", dtype=jnp.float32,
+                             interpret=False):
+    """One smoothing round (n_sweeps red-black sweeps) on the deep frame.
+
+    emit: "v" -> frame; "v_fc" -> (frame, restricted-residual ng=1 coarse
+    frame); "v_r" -> (frame, full-frame residual, zero outside interior).
+
+    Returns fn(flags_i32[8], ab[2], vd, fd).  flags: [seam_xl, seam_xr,
+    seam_yl, seam_yr, own_xl, own_xr, own_yl, own_yr] as int32.
+    """
+    Fx, Fy = bx + 2 * dpx, by + 2 * dpy
+    plan = _edge_plan(bc, px, py)
+
+    def kernel(flags_ref, ab_ref, v_ref, f_ref, *out_refs):
+        # masks are pure iota arithmetic -- built in-kernel so nothing is
+        # captured from the enclosing trace
+        exl, exr, eyl, eyr, red = _make_masks(bx, by, dpx, dpy)
+        xi, yi = _frame_iotas(Fx, Fy)
+        interior = (exl == 0) & (exr == 0) & (eyl == 0) & (eyr == 0)
+        alpha, beta = ab_ref[0], ab_ref[1]
+        xc = beta / dx ** 2
+        yc = beta / dy ** 2
+        denom = alpha + 2.0 * xc + 2.0 * yc
+        sxl, sxr, syl, syr = (flags_ref[0], flags_ref[1], flags_ref[2],
+                              flags_ref[3])
+        f = f_ref[...]
+
+        def elig(lim):
+            zero = jnp.asarray(0, jnp.int32)
+            m = exl <= jnp.where(sxl != 0, lim, zero)
+            m &= exr <= jnp.where(sxr != 0, lim, zero)
+            m &= eyl <= jnp.where(syl != 0, lim, zero)
+            m &= eyr <= jnp.where(syr != 0, lim, zero)
+            return m
+
+        def refresh(a):
+            for axis, side, kind, fi in plan:
+                b = bx if axis == 0 else by
+                dp = dpx if axis == 0 else dpy
+                ii = xi if axis == 0 else yi
+                gidx = dp - 1 if side == 0 else dp + b
+                m = ii == gidx
+                if fi is not None:
+                    m &= flags_ref[fi] != 0
+                if kind == "periodic":
+                    src = jnp.roll(a, -b if side == 0 else b, axis)
+                elif kind in ("outflow", "neumann", "reflect-even"):
+                    src = jnp.roll(a, -1 if side == 0 else 1, axis)
+                else:  # dirichlet / reflect-odd, homogeneous
+                    src = -jnp.roll(a, -1 if side == 0 else 1, axis)
+                a = jnp.where(m, src, a)
+            return a
+
+        def half(v, m):
+            upd = (f + xc * (jnp.roll(v, -1, 0) + jnp.roll(v, 1, 0)) +
+                   yc * (jnp.roll(v, -1, 1) + jnp.roll(v, 1, 1))) / denom
+            return jnp.where(m, upd, v)
+
+        def sweep(s, v):
+            lim = jnp.asarray(d, jnp.int32) - (2 * s + 1)
+            v = refresh(half(v, elig(lim) & red))
+            v = refresh(half(v, elig(lim - 1) & ~red))
+            return v
+
+        v = jax.lax.fori_loop(0, n_sweeps, sweep, v_ref[...])
+        out_refs[0][...] = v
+
+        if emit != "v":
+            lap = (jnp.roll(v, -1, 0) + jnp.roll(v, 1, 0) +
+                   jnp.roll(v, -1, 1) + jnp.roll(v, 1, 1) - 4.0 * v) \
+                / dx ** 2
+            r = jnp.where(interior, f - alpha * v + beta * lap,
+                          jnp.asarray(0.0, dtype))
+            if emit == "v_r":
+                out_refs[1][...] = r
+            else:
+                # factor-2 conservative restrict onto the ng=1 coarse
+                # frame via offset-aware iota matmuls (runs on the MXU)
+                qcx, qcy = bx // 2 + 2, by // 2 + 2
+
+                def rmat(qc, F, dp, b):
+                    ri = jax.lax.broadcasted_iota(jnp.int32, (qc, F), 0)
+                    ci = jax.lax.broadcasted_iota(jnp.int32, (qc, F), 1)
+                    ok = (ri >= 1) & (ri <= qc - 2)
+                    hit = ((ci == dp + 2 * (ri - 1)) |
+                           (ci == dp + 2 * (ri - 1) + 1)) & ok
+                    return jnp.where(hit, 0.5, 0.0).astype(dtype)
+
+                Rx = rmat(qcx, Fx, dpx, bx)
+                Ry = rmat(qcy, Fy, dpy, by)
+                out_refs[1][...] = jnp.matmul(
+                    Rx, jnp.matmul(r, Ry.T, precision=_HI), precision=_HI)
+
+    # kernels run inside shard_map over ("x", "y"): outputs are
+    # device-varying, which check_vma requires declared explicitly
+    vma = frozenset({"x", "y"})
+    if emit == "v":
+        out_shape = [jax.ShapeDtypeStruct((Fx, Fy), dtype, vma=vma)]
+    elif emit == "v_r":
+        out_shape = [jax.ShapeDtypeStruct((Fx, Fy), dtype, vma=vma)] * 2
+    else:
+        out_shape = [jax.ShapeDtypeStruct((Fx, Fy), dtype, vma=vma),
+                     jax.ShapeDtypeStruct((bx // 2 + 2, by // 2 + 2),
+                                          dtype, vma=vma)]
+
+    return pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)
+                   for _ in out_shape],
+        out_shape=out_shape,
+        compiler_params=_COMPILER_PARAMS,
+        interpret=interpret)
+
+
+def build_core_kernel(serial_mg, top_level, dtype, interpret=False):
+    """pallas_mg's fused-core kernel for the replicated sub-crossover
+    recursion: the complete serial V-cycle for levels 0..top_level in one
+    VMEM-resident kernel.  fn(ab[2], v, f) -> v."""
+    bc = serial_mg.bc
+    bcs = (bc.xlb, bc.xrb, bc.ylb, bc.yrb)
+    nlevels = serial_mg.nlevels
+    dx_fine = serial_mg.soln_grid.dx
+
+    def dx_of(level):
+        return dx_fine * (2 ** (nlevels - 1 - level))
+
+    call = pallas_mg._make_core_kernel(
+        top_level, dx_of, serial_mg.nsmooth, serial_mg.nsmooth_bottom,
+        bcs, want_r=False, dtype=dtype, interpret=interpret,
+        vma=frozenset({"x", "y"}))
+
+    def core(ab, v, f):
+        return call(ab, v, f)[0]
+
+    return core

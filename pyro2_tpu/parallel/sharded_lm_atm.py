@@ -193,9 +193,9 @@ class ShardedLMAtm:
         cp = {k: ShardedMG._dummy_tail(v, self.smg.k_cross)
               for k, v in serial._params().items()}
         rng = range(self.smg.k_cross, self.smg.nlevels)
-        lp = {"eta_x": {k: self.smg._block_layout(
+        lp = {"eta_x": {k: self.smg._coeff_layout(
                   serial.edge_coeffs[k].x, k) for k in rng},
-              "eta_y": {k: self.smg._block_layout(
+              "eta_y": {k: self.smg._coeff_layout(
                   serial.edge_coeffs[k].y, k) for k in rng}}
         return cp, lp
 

@@ -5,12 +5,28 @@ the reference, /root/reference/pyro/multigrid/MG.py:77-778,
 variable_coeff_MG.py:24-213, general_MG.py:27-242, is strictly
 single-process; this layer is new).  Design:
 
-* every level whose per-device block is at least 2x2 stays block-partitioned:
-  the red-black half sweeps, residual, restrict and prolong all run on the
-  local padded block, with `halo_exchange` (ppermute rings + domain-edge
-  physical fills) replacing the serial ghost fill between color sweeps --
-  the identical update stencil in the identical order, so a sharded solve is
-  partition-invariant vs the serial solve to FP roundoff;
+* every level whose per-device block is large enough stays
+  block-partitioned.  The default smoothing schedule is COMMUNICATION-
+  AVOIDING (`comm_mode="deep"`): one d-deep halo exchange per smoothing
+  call buys (d-1)//2 red-black sweeps computed redundantly on the halo
+  band -- every updated cell evaluates the identical arithmetic on the
+  identical operand values as the reference's exchange-per-half-sweep
+  schedule (/root/reference/pyro/multigrid/MG.py:544-599, ghost fill
+  after colors 2 and 4), so the result is arithmetically unchanged
+  (identical operations on identical operand values; the separately
+  compiled graphs may differ by instruction-fusion/FMA ulps) while the
+  ppermute count per V-cycle drops ~15-20x (2 ppermutes per split axis
+  per smoothing call, independent of nsmooth).  `comm_mode="sweep"`
+  keeps the literal exchange-per-half-sweep schedule for cross-checking;
+* `smoother="rbgs"` (default) is the reference-parity red-black
+  Gauss-Seidel.  `smoother="jacobi"` / `"chebyshev"` are speed modes
+  (SURVEY.md section 7 "Hard parts"): damped-Jacobi / Chebyshev-
+  accelerated-Jacobi need only 1 halo cell per step (vs 2 per RB-GS
+  sweep), so the same d-deep halo buys d-1 steps; they trade a few extra
+  V-cycles for strictly less synchronization.  Jacobi reads only
+  old-iterate values and is partition-invariant; Chebyshev restarts its
+  polynomial at round boundaries, so its iterates depend (at the
+  truncation-error-irrelevant level) on the block size;
 * below the crossover the remaining residual blocks are `all_gather`ed into
   a replicated global coarse problem and the SERIAL V-cycle recursion
   (CellCenterMG2d._v_cycle) runs identically on every device -- redundant
@@ -49,10 +65,16 @@ from pyro2_tpu.mesh.patch import prolong_array, restrict_array
 from pyro2_tpu.multigrid.MG import CellCenterMG2d
 from pyro2_tpu.multigrid.general_MG import GeneralMG2d
 from pyro2_tpu.multigrid.variable_coeff_MG import VarCoeffCCMG2d
-from pyro2_tpu.parallel.mesh_comm import halo_exchange
+from pyro2_tpu.parallel.mesh_comm import (deep_pad_exchange,
+                                          deep_phys_refresh, halo_exchange)
 from pyro2_tpu.util import msg
 
 __all__ = ["ShardedMG", "ShardedVarCoeffMG", "ShardedGeneralMG"]
+
+
+def pallas_mg_core_max():
+    from pyro2_tpu.multigrid.pallas_mg import CORE_MAX
+    return CORE_MAX
 
 _SUPPORTED_BCS = frozenset(
     ["outflow", "neumann", "dirichlet", "reflect-odd", "reflect-even",
@@ -115,13 +137,19 @@ class ShardedMG:
     criterion, same smoother ordering).
     """
 
+    # deep mode prefers replicating levels whose split-axis blocks are
+    # smaller than this (one exchange then buys >= 7 sweeps); tests lower
+    # it to pin the crossover while isolating the smoothing schedule
+    _deep_crossover = 16
+
     def __init__(self, nx, ny, mesh, *,
                  xmin=0.0, xmax=1.0, ymin=0.0, ymax=1.0,
                  xl_BC_type="dirichlet", xr_BC_type="dirichlet",
                  yl_BC_type="dirichlet", yr_BC_type="dirichlet",
                  alpha=0.0, beta=-1.0,
                  nsmooth=10, nsmooth_bottom=50,
-                 verbose=0):
+                 comm_mode="deep", smoother="rbgs", nsmooth_speed=None,
+                 use_pallas=False, verbose=0):
         _check_bcs(xl_BC_type, xr_BC_type, yl_BC_type, yr_BC_type)
 
         # the serial MG supplies the level grids, the replicated coarse
@@ -132,12 +160,36 @@ class ShardedMG:
             yl_BC_type=yl_BC_type, yr_BC_type=yr_BC_type,
             alpha=alpha, beta=beta,
             nsmooth=nsmooth, nsmooth_bottom=nsmooth_bottom, verbose=0)
-        self._setup_mesh(serial, mesh, verbose)
+        self._setup_mesh(serial, mesh, verbose, comm_mode=comm_mode,
+                         smoother=smoother, nsmooth_speed=nsmooth_speed,
+                         use_pallas=use_pallas)
 
     # ------------------------------------------------------------------
     # shared mesh/crossover/local-grid setup
     # ------------------------------------------------------------------
-    def _setup_mesh(self, serial, mesh, verbose):
+    def _setup_mesh(self, serial, mesh, verbose, *, comm_mode="deep",
+                    smoother="rbgs", nsmooth_speed=None, use_pallas=False):
+        if comm_mode not in ("deep", "sweep"):
+            raise ValueError(f"unknown comm_mode '{comm_mode}'")
+        if smoother not in ("rbgs", "jacobi", "chebyshev"):
+            raise ValueError(f"unknown smoother '{smoother}'")
+        if smoother != "rbgs" and comm_mode != "deep":
+            raise ValueError("speed smoothers require comm_mode='deep'")
+        if use_pallas:
+            from pyro2_tpu.multigrid.pallas_sharded_mg import SUPPORTED_BCS
+            if type(self) is not ShardedMG:
+                raise ValueError("use_pallas supports the constant-"
+                                 "coefficient ShardedMG only")
+            if comm_mode != "deep" or smoother != "rbgs":
+                raise ValueError("use_pallas requires comm_mode='deep' "
+                                 "and smoother='rbgs'")
+            bc = serial.bc
+            for edge in ("xlb", "xrb", "ylb", "yrb"):
+                if getattr(bc, edge) not in SUPPORTED_BCS:
+                    raise ValueError(
+                        f"BC '{getattr(bc, edge)}' not supported by the "
+                        "fused sharded-MG kernels")
+        self.use_pallas = use_pallas
         self.serial = serial
         nx, ny = serial.nx, serial.ny
         self.mesh = mesh
@@ -148,6 +200,13 @@ class ShardedMG:
         self.nlevels = serial.nlevels
         self.nsmooth = serial.nsmooth
         self.nsmooth_bottom = serial.nsmooth_bottom
+        self.comm_mode = comm_mode
+        self.smoother = smoother
+        # speed modes: Chebyshev degree ~4 matches 10 RB-GS sweeps'
+        # smoothing power; damped Jacobi needs a few more
+        if nsmooth_speed is None:
+            nsmooth_speed = 4 if smoother == "chebyshev" else 8
+        self.nsmooth_speed = nsmooth_speed
         self.verbose = verbose
         self.max_cycles = serial.max_cycles
         self.bc = serial.bc
@@ -155,20 +214,51 @@ class ShardedMG:
         if nx % self.px != 0 or ny % self.py != 0:
             raise ValueError("grid must divide evenly over the device mesh")
 
-        # crossover: the coarsest level whose local block is >= 2x2 on every
-        # device (blocks stay even/power-of-2 above it, so local red-black
-        # parity == global parity and local factor-2 restriction is exact)
-        self.k_cross = None
-        for k in range(self.nlevels):
-            g = self.serial.grids[k]
-            if (g.nx % self.px == 0 and g.ny % self.py == 0 and
-                    g.nx // self.px >= 2 and g.ny // self.py >= 2):
-                self.k_cross = k
-                break
-        if self.k_cross is None or self.k_cross == self.nlevels:
+        # crossover: the coarsest block-partitioned level.  Blocks stay
+        # even/power-of-2 above it, so local red-black parity == global
+        # parity and local factor-2 restriction is exact.  In deep mode,
+        # prefer a crossover whose split-axis blocks are >= 16 cells (one
+        # exchange buys >= 7 sweeps); tiny sharded levels cost more in
+        # latency-bound halo traffic than redundant replicated compute.
+        def _coarsest(min_seam_block):
+            for k in range(self.nlevels):
+                g = self.serial.grids[k]
+                if g.nx % self.px != 0 or g.ny % self.py != 0:
+                    continue
+                bx, by = g.nx // self.px, g.ny // self.py
+                if bx < 2 or by < 2:
+                    continue
+                seam = ([bx] if self.px > 1 else []) + \
+                       ([by] if self.py > 1 else [])
+                if not seam or min(seam) >= min_seam_block:
+                    return k
+            return None
+
+        if comm_mode == "deep":
+            self.k_cross = _coarsest(self._deep_crossover)
+            if self.k_cross is None:
+                self.k_cross = _coarsest(4)
+        else:
+            self.k_cross = _coarsest(2)
+        if self.k_cross is None:
+            self.k_cross = _coarsest(2)
+        if self.k_cross is None:
             raise ValueError(
                 f"no level of a {nx}x{ny} grid gives >=2x2 blocks on a "
                 f"{self.px}x{self.py} mesh -- use the serial solver")
+        if use_pallas:
+            # kernel mode handles the sub-crossover recursion with ONE
+            # fused-core kernel on the gathered problem; replicating up
+            # to REPL_MAX^2 costs less than per-level kernel launches +
+            # exchanges (a 1x1 mesh collapses to the serial fused
+            # DOWN/UP/CORE structure)
+            repl_max = (pallas_mg_core_max() if self.px * self.py == 1
+                        else 64)
+            k = self.k_cross
+            while (k < self.nlevels - 1 and
+                   self.serial.grids[k].nx <= repl_max):
+                k += 1
+            self.k_cross = k
 
         # per-level local block grids (levels k_cross-1 .. finest; the
         # k_cross-1 entry only provides shapes for the final local restrict
@@ -195,6 +285,35 @@ class ShardedMG:
 
         self._ops = _LocalMGOps(type(self.serial), self.local_grids,
                                 red, black, self.bc, self.px, self.py)
+
+        # deep-halo geometry per sharded level: halo depth d (bounded by
+        # 2*nsmooth+1 -- a full RB sweep consumes 2 halo cells -- and by
+        # the block extent along each split axis, since the exchange
+        # carries the neighbor's interior), and the per-round sweep
+        # schedule.  Entry None => exchange-per-half-sweep fallback.
+        self._deep_geom = {}
+        if comm_mode == "deep":
+            for k in range(self.k_cross, self.nlevels):
+                lg = self.local_grids[k]
+                seam = ([lg.nx] if self.px > 1 else []) + \
+                       ([lg.ny] if self.py > 1 else [])
+                d = min([2 * self.nsmooth + 1] + seam)
+                if d < 3:
+                    self._deep_geom[k] = None
+                    continue
+                dpx = d if self.px > 1 else 1
+                dpy = d if self.py > 1 else 1
+
+                def schedule(n, per_round):
+                    full, rem = divmod(n, per_round)
+                    return [per_round] * full + ([rem] if rem else [])
+
+                self._deep_geom[k] = {
+                    "d": d, "dpx": dpx, "dpy": dpy,
+                    # rbgs: 2 halo cells per sweep; jacobi/cheb: 1 per step
+                    "sweeps_rb": schedule(self.nsmooth, (d - 1) // 2),
+                    "sweeps_j": schedule(self.nsmooth_speed, d - 1),
+                }
 
         self.source_norm = 0.0
         self.initialized_rhs = 0
@@ -228,22 +347,78 @@ class ShardedMG:
         """The params pytree handed to the block-local operator methods."""
         return coarse_params
 
-    def _block_layout(self, global_arr, level):
+    def _block_layout(self, global_arr, level, dpx=None, dpy=None):
         """(qx, qy) global padded level-`level` array -> block-padded
-        layout (px*(bx+2ng), py*(by+2ng)) sharded P("x","y"): each
+        layout (px*(bx+2*dpx), py*(by+2*dpy)) sharded P("x","y"): each
         device's shard is its own local padded block (neighbor interior
         values in interior-facing ghost slots, the serial hierarchy's
-        physical ghosts on domain-edge blocks)."""
+        physical ghosts on domain-edge blocks).  The default depth is the
+        standard ng=1; deep-mode coefficient planes use the level's halo
+        depth (positions beyond the global array -- physical ghosts
+        deeper than 1 -- are zero-filled and never read)."""
         lg = self.local_grids[level]
         bx, by = lg.nx, lg.ny
-        qlx, qly = lg.qx, lg.qy
+        if dpx is None:
+            dpx, dpy = self.ng, self.ng
+
+        def extend(A, dp, axis, periodic):
+            """1-ghost global array -> dp-ghost: periodic axes wrap
+            (seam halos are globally interior cells; on a periodic axis
+            that includes the around-the-domain images), non-periodic
+            axes keep the serial depth-1 ghost and zero-fill deeper
+            (those positions feed only masked-out updates)."""
+            if dp <= 1:
+                return A
+            Ai = np.moveaxis(A, axis, 0)
+            n = Ai.shape[0] - 2
+            interior = Ai[1:-1]
+            if periodic:
+                ext = np.concatenate([interior[n - dp:], interior,
+                                      interior[:dp]])
+            else:
+                z = np.zeros((dp - 1,) + Ai.shape[1:], Ai.dtype)
+                ext = np.concatenate([z, Ai[:1], interior, Ai[-1:], z])
+            return np.moveaxis(ext, 0, axis)
+
+        qlx, qly = bx + 2 * dpx, by + 2 * dpy
         A = np.asarray(global_arr)
+        A = extend(A, dpx, 0, self.bc.xlb == "periodic")
+        A = extend(A, dpy, 1, self.bc.ylb == "periodic")
         out = np.zeros((self.px * qlx, self.py * qly), A.dtype)
         for ix in range(self.px):
             for iy in range(self.py):
+                # extended-array row/col origin of this block's frame
+                r0, c0 = ix * bx, iy * by
                 out[ix * qlx:(ix + 1) * qlx, iy * qly:(iy + 1) * qly] = \
-                    A[ix * bx:ix * bx + qlx, iy * by:iy * by + qly]
+                    A[r0:r0 + qlx, c0:c0 + qly]
         return jax.device_put(jnp.asarray(out), self._sharding)
+
+    def _coeff_layout(self, global_arr, level):
+        """Block-padded layout of a level coefficient plane at the level's
+        smoothing halo depth (ng=1 when the level is not deep-smoothed)."""
+        geom = self._deep_geom.get(level)
+        if geom is None:
+            return self._block_layout(global_arr, level)
+        return self._block_layout(global_arr, level, geom["dpx"],
+                                  geom["dpy"])
+
+    def _ng1_view(self, local_params):
+        """Standard ng=1 per-level views of (possibly deep) coefficient
+        layouts, for the ops residual / sweep-mode smoother (the sliced
+        values are bitwise the ng=1 layout's)."""
+        out = {}
+        for name, per_level in local_params.items():
+            out[name] = {}
+            for k, plane in per_level.items():
+                geom = self._deep_geom.get(k)
+                if geom is None:
+                    out[name][k] = plane
+                else:
+                    lg = self.local_grids[k]
+                    dpx, dpy = geom["dpx"], geom["dpy"]
+                    out[name][k] = plane[dpx - 1:dpx + lg.nx + 1,
+                                         dpy - 1:dpy + lg.ny + 1]
+        return out
 
     @staticmethod
     def _dummy_tail(per_level, k_cross):
@@ -306,6 +481,238 @@ class ShardedMG:
         return fn(self.v_int)
 
     # ------------------------------------------------------------------
+    # deep-halo smoothing (everything below runs inside shard_map)
+    # ------------------------------------------------------------------
+    def _deep_gs_update(self, k, v, f, coarse_params, local_params):
+        """The Gauss-Seidel update formula evaluated at EVERY frame cell
+        from the current iterate (callers mask-select the cells that may
+        legally take it).  Same term order as CellCenterMG2d._smooth_once
+        so selected cells are bitwise identical."""
+        g = self.serial.grids[k]
+        alpha = coarse_params["alpha"]
+        beta = coarse_params["beta"]
+        xc = beta / g.dx ** 2
+        yc = beta / g.dy ** 2
+        denom = alpha + 2.0 * xc + 2.0 * yc
+        return (f +
+                xc * (jnp.roll(v, -1, -2) + jnp.roll(v, 1, -2)) +
+                yc * (jnp.roll(v, -1, -1) + jnp.roll(v, 1, -1))) / denom
+
+    def _deep_frame_masks(self, k, geom):
+        """Static excess-distance grids + red parity for level k's deep
+        frame, plus the traced per-side seam flags."""
+        lg = self.local_grids[k]
+        bx, by = lg.nx, lg.ny
+        dpx, dpy = geom["dpx"], geom["dpy"]
+        ii = np.arange(bx + 2 * dpx)[:, None]
+        jj = np.arange(by + 2 * dpy)[None, :]
+        exl = jnp.asarray(np.maximum(dpx - ii, 0))
+        exr = jnp.asarray(np.maximum(ii - (dpx + bx - 1), 0))
+        eyl = jnp.asarray(np.maximum(dpy - jj, 0))
+        eyr = jnp.asarray(np.maximum(jj - (dpy + by - 1), 0))
+        # block origins are even multiples of even block extents, so
+        # global parity == frame parity shifted by the pad depths
+        red = jnp.asarray(((ii - dpx) + (jj - dpy)) % 2 == 0)
+
+        def seam_pair(p, axname, lb, rb):
+            if p == 1:
+                return None, None
+            idx = jax.lax.axis_index(axname)
+            lo = jnp.asarray(True) if lb == "periodic" else idx > 0
+            hi = jnp.asarray(True) if rb == "periodic" else idx < p - 1
+            return lo, hi
+
+        sxl, sxr = seam_pair(self.px, "x", self.bc.xlb, self.bc.xrb)
+        syl, syr = seam_pair(self.py, "y", self.bc.ylb, self.bc.yrb)
+
+        def elig(lim):
+            """Cells allowed to take an update whose reads must be valid
+            to halo depth lim+1: excess <= lim toward seam sides, 0
+            toward physical/wrap sides (those ghosts are refreshed)."""
+            zero = jnp.asarray(0, jnp.int32)
+            m = (exl <= (jnp.where(sxl, lim, zero) if sxl is not None
+                         else zero))
+            m &= exr <= (jnp.where(sxr, lim, zero) if sxr is not None
+                         else zero)
+            m &= eyl <= (jnp.where(syl, lim, zero) if syl is not None
+                         else zero)
+            m &= eyr <= (jnp.where(syr, lim, zero) if syr is not None
+                         else zero)
+            return m
+
+        return elig, red
+
+    def _deep_smooth(self, k, v_std, f_deep, geom, coarse_params,
+                     local_params):
+        """Deep-halo smoothing at level k.
+
+        v_std: the (bx+2, by+2) standard ng=1 padded block (ghost values
+        ignored -- each round starts with its own exchange).  f_deep: the
+        level's RHS on the deep frame (seam halos exchanged; physical
+        ghosts never read).  Returns the ng=1 padded block with depth-1
+        valid ghosts, exactly as ops._smooth_n would (bitwise, for
+        smoother='rbgs')."""
+        lg = self.local_grids[k]
+        bx, by = lg.nx, lg.ny
+        d, dpx, dpy = geom["d"], geom["dpx"], geom["dpy"]
+        bc, px, py = self.bc, self.px, self.py
+        elig, red = self._deep_frame_masks(k, geom)
+
+        def refresh(a):
+            return deep_phys_refresh(a, bc, px, py, dpx, dpy)
+
+        v_int = v_std[1:-1, 1:-1]
+        vd = None
+        if self.smoother == "rbgs":
+            def sweep(s, vd):
+                lim = jnp.asarray(d, jnp.int32) - (2 * s + 1)
+                upd = self._deep_gs_update(k, vd, f_deep, coarse_params,
+                                           local_params)
+                vd = refresh(jnp.where(elig(lim) & red, upd, vd))
+                upd = self._deep_gs_update(k, vd, f_deep, coarse_params,
+                                           local_params)
+                vd = refresh(jnp.where(elig(lim - 1) & ~red, upd, vd))
+                return vd
+
+            for n_r in geom["sweeps_rb"]:
+                vd = deep_pad_exchange(v_int, bc, px, py, dpx, dpy)
+                vd = jax.lax.fori_loop(0, n_r, sweep, vd)
+                v_int = vd[dpx:dpx + bx, dpy:dpy + by]
+
+        elif self.smoother == "jacobi":
+            omega = jnp.asarray(0.8, v_std.dtype)
+
+            def step(s, vd):
+                lim = jnp.asarray(d, jnp.int32) - (s + 1)
+                upd = self._deep_gs_update(k, vd, f_deep, coarse_params,
+                                           local_params)
+                return refresh(jnp.where(
+                    elig(lim), vd + omega * (upd - vd), vd))
+
+            for n_r in geom["sweeps_j"]:
+                vd = deep_pad_exchange(v_int, bc, px, py, dpx, dpy)
+                vd = jax.lax.fori_loop(0, n_r, step, vd)
+                v_int = vd[dpx:dpx + bx, dpy:dpy + by]
+
+        else:  # chebyshev acceleration of the Jacobi iteration
+            # z = M(v) - v = D^{-1}(f - A v) for every operator class;
+            # eigenvalues of D^{-1}A lie in (0, 2) (diagonally dominant
+            # M-matrix), smooth the upper 3/4 of the spectrum
+            dt = v_std.dtype
+            lmax, lmin = 2.0, 0.5
+            theta = jnp.asarray((lmax + lmin) / 2.0, dt)
+            delta = jnp.asarray((lmax - lmin) / 2.0, dt)
+            sigma = theta / delta
+
+            for n_r in geom["sweeps_j"]:
+                vd = deep_pad_exchange(v_int, bc, px, py, dpx, dpy)
+                rho = 1.0 / sigma
+                upd = self._deep_gs_update(k, vd, f_deep, coarse_params,
+                                           local_params)
+                lim0 = jnp.asarray(d - 1, jnp.int32)
+                z = jnp.where(elig(lim0), upd - vd, 0.0)
+                dk = z / theta
+                vd = refresh(jnp.where(elig(lim0), vd + dk, vd))
+                for s in range(1, n_r):
+                    rho_new = 1.0 / (2.0 * sigma - rho)
+                    lim = jnp.asarray(d - (s + 1), jnp.int32)
+                    upd = self._deep_gs_update(k, vd, f_deep,
+                                               coarse_params, local_params)
+                    z = jnp.where(elig(lim), upd - vd, 0.0)
+                    dk = rho_new * rho * dk + (2.0 * rho_new / delta) * z
+                    vd = refresh(jnp.where(elig(lim), vd + dk, vd))
+                    rho = rho_new
+                v_int = vd[dpx:dpx + bx, dpy:dpy + by]
+
+        return vd[dpx - 1:dpx + bx + 1, dpy - 1:dpy + by + 1]
+
+    def _deep_rhs(self, k, f_std, geom):
+        """The level RHS on the deep frame: seam halos exchanged once per
+        level visit (f is constant across both smoothing calls); physical
+        ghosts are never read by the masked updates."""
+        return deep_pad_exchange(f_std[1:-1, 1:-1], self.bc, self.px,
+                                 self.py, geom["dpx"], geom["dpy"],
+                                 phys=False)
+
+    # ------------------------------------------------------------------
+    # fused Pallas deep smoothing (constant-coefficient rbgs only)
+    # ------------------------------------------------------------------
+    def _pallas_interpret(self):
+        return jax.default_backend() != "tpu"
+
+    def _kernel_flags(self):
+        """The 8 SMEM flags [seam_xl..yr, own_xl..yr] for this block."""
+        ix = jax.lax.axis_index("x")
+        iy = jax.lax.axis_index("y")
+        one = jnp.ones((), jnp.int32)
+        zero = jnp.zeros((), jnp.int32)
+
+        def flags_for(p, idx, lb, rb):
+            if p == 1:
+                return zero, zero, one, one
+            per_l = one if lb == "periodic" else (idx > 0).astype(jnp.int32)
+            per_r = one if rb == "periodic" else \
+                (idx < p - 1).astype(jnp.int32)
+            own_l = (idx == 0).astype(jnp.int32)
+            own_r = (idx == p - 1).astype(jnp.int32)
+            return per_l, per_r, own_l, own_r
+
+        sxl, sxr, oxl, oxr = flags_for(self.px, ix, self.bc.xlb,
+                                       self.bc.xrb)
+        syl, syr, oyl, oyr = flags_for(self.py, iy, self.bc.ylb,
+                                       self.bc.yrb)
+        return jnp.stack([sxl, sxr, syl, syr, oxl, oxr, oyl, oyr])
+
+    def _smooth_kernel(self, k, n_r, emit, dtype):
+        from pyro2_tpu.multigrid.pallas_sharded_mg import \
+            build_deep_smooth_kernel
+        cache = getattr(self, "_psk_cache", None)
+        if cache is None:
+            cache = self._psk_cache = {}
+        key = (k, n_r, emit, jnp.dtype(dtype).name)
+        fn = cache.get(key)
+        if fn is None:
+            geom = self._deep_geom[k]
+            lg = self.local_grids[k]
+            g = self.serial.grids[k]
+            fn = build_deep_smooth_kernel(
+                bx=lg.nx, by=lg.ny, dpx=geom["dpx"], dpy=geom["dpy"],
+                d=geom["d"], n_sweeps=n_r, dx=g.dx, dy=g.dy,
+                bc=self.bc, px=self.px, py=self.py, emit=emit,
+                dtype=dtype, interpret=self._pallas_interpret())
+            cache[key] = fn
+        return fn
+
+    def _deep_smooth_pallas(self, k, v_std, f_deep, geom, coarse_params,
+                            emit_last="v"):
+        """The Pallas twin of _deep_smooth (rbgs): one kernel per
+        smoothing round; the final round optionally fuses the residual
+        [+ restrict].  Returns (ng=1 padded block, extra-or-None)."""
+        lg = self.local_grids[k]
+        bx, by = lg.nx, lg.ny
+        dpx, dpy = geom["dpx"], geom["dpy"]
+        dtype = v_std.dtype
+        flags = self._kernel_flags()
+        ab = jnp.stack([coarse_params["alpha"],
+                        coarse_params["beta"]]).astype(dtype)
+
+        sweeps = geom["sweeps_rb"]
+        v_int = v_std[1:-1, 1:-1]
+        extra = None
+        for i, n_r in enumerate(sweeps):
+            vd = deep_pad_exchange(v_int, self.bc, self.px, self.py,
+                                   dpx, dpy)
+            emit = emit_last if i == len(sweeps) - 1 else "v"
+            outs = self._smooth_kernel(k, n_r, emit, dtype)(
+                flags, ab, vd, f_deep)
+            if emit == "v":
+                vd, = outs
+            else:
+                vd, extra = outs
+            v_int = vd[dpx:dpx + bx, dpy:dpy + by]
+        return vd[dpx - 1:dpx + bx + 1, dpy - 1:dpy + by + 1], extra
+
+    # ------------------------------------------------------------------
     # SPMD numeric core (everything below runs inside shard_map)
     # ------------------------------------------------------------------
     def _replicated_coarse(self, kc, fc_blk, coarse_params):
@@ -319,8 +726,24 @@ class ShardedMG:
         gk = self.serial.grids[kc]
         f_glob = jnp.zeros((gk.qx, gk.qy), f_int.dtype)
         f_glob = f_glob.at[gk.ilo:gk.ihi + 1, gk.jlo:gk.jhi + 1].set(f_int)
-        v_glob = self.serial._v_cycle(kc, jnp.zeros_like(f_glob), f_glob,
-                                      coarse_params)
+        if self.use_pallas:
+            from pyro2_tpu.multigrid.pallas_sharded_mg import \
+                build_core_kernel
+            cache = getattr(self, "_psk_cache", None)
+            if cache is None:
+                cache = self._psk_cache = {}
+            key = ("core", kc, f_glob.dtype.name)
+            core = cache.get(key)
+            if core is None:
+                core = build_core_kernel(self.serial, kc, f_glob.dtype,
+                                         interpret=self._pallas_interpret())
+                cache[key] = core
+            ab = jnp.stack([coarse_params["alpha"],
+                            coarse_params["beta"]]).astype(f_glob.dtype)
+            v_glob = core(ab, jnp.zeros_like(f_glob), f_glob)
+        else:
+            v_glob = self.serial._v_cycle(kc, jnp.zeros_like(f_glob),
+                                          f_glob, coarse_params)
         bx, by = gk.nx // self.px, gk.ny // self.py
         ix = jax.lax.axis_index("x")
         iy = jax.lax.axis_index("y")
@@ -337,11 +760,22 @@ class ShardedMG:
             # only reachable on a 1x1 mesh: plain bottom smooth
             return ops._smooth_n(0, v, f, self.nsmooth_bottom, lp)
 
-        v = ops._smooth_n(k, v, f, self.nsmooth, lp)
-        r = ops._residual(k, v, f, lp)
-
+        geom = self._deep_geom.get(k)
         lg_c = self.local_grids[k - 1]
-        f_c = restrict_array(r, lg, lg_c)
+        if geom is not None and self.use_pallas:
+            f_deep = self._deep_rhs(k, f, geom)
+            v, f_c = self._deep_smooth_pallas(k, v, f_deep, geom,
+                                              coarse_params,
+                                              emit_last="v_fc")
+        else:
+            if geom is not None:
+                f_deep = self._deep_rhs(k, f, geom)
+                v = self._deep_smooth(k, v, f_deep, geom, coarse_params,
+                                      local_params)
+            else:
+                v = ops._smooth_n(k, v, f, self.nsmooth, lp)
+            r = ops._residual(k, v, f, lp)
+            f_c = restrict_array(r, lg, lg_c)
         if k - 1 >= self.k_cross:
             v_c = self._sharded_v_cycle(k - 1, jnp.zeros_like(f_c), f_c,
                                         coarse_params, local_params)
@@ -351,6 +785,13 @@ class ShardedMG:
         e = prolong_array(v_c, lg_c, lg)
         from pyro2_tpu.mesh.indexer import ai
         v = v.at[lg.ilo:lg.ihi + 1, lg.jlo:lg.jhi + 1].add(ai(e, lg).v())
+        if geom is not None:
+            # the deep smoother re-exchanges v itself; no ghost fill needed
+            if self.use_pallas:
+                return self._deep_smooth_pallas(k, v, f_deep, geom,
+                                                coarse_params)[0]
+            return self._deep_smooth(k, v, f_deep, geom, coarse_params,
+                                     local_params)
         v = ops._fill_v(k, v)
         return ops._smooth_n(k, v, f, self.nsmooth, lp)
 
@@ -419,7 +860,9 @@ class ShardedMG:
     def _cycle_key(self):
         return ("sharded", type(self.serial), tuple(self.serial.grids),
                 self.bc, self.px, self.py, self.nsmooth,
-                self.nsmooth_bottom, id(self.mesh))
+                self.nsmooth_bottom, self.comm_mode, self.smoother,
+                self.nsmooth_speed, self.k_cross, self.use_pallas,
+                id(self.mesh))
 
     def _param_specs(self):
         """shard_map in_specs for (coarse_params, local_params)."""
@@ -439,9 +882,13 @@ class ShardedMG:
 
         spec = P("x", "y")
         cspec, lspec = self._param_specs()
+        # check_vma off in kernel mode: pallas_call outputs inside the
+        # traced body do not thread varying-mesh-axes metadata through
+        # in-kernel loop carries
         body = jax.shard_map(body, mesh=self.mesh,
                              in_specs=(spec, spec, cspec, lspec),
-                             out_specs=(spec, spec, P()))
+                             out_specs=(spec, spec, P()),
+                             check_vma=not self.use_pallas)
         return jax.jit(body)
 
     def _build_solve(self):
@@ -462,7 +909,8 @@ class ShardedMG:
         body = jax.shard_map(
             body, mesh=self.mesh,
             in_specs=(spec, spec, cspec, lspec, P(), P()),
-            out_specs=(spec, spec, P(), P(), P()))
+            out_specs=(spec, spec, P(), P(), P()),
+            check_vma=not self.use_pallas)
         return jax.jit(body)
 
     # ------------------------------------------------------------------
@@ -547,9 +995,11 @@ class ShardedVarCoeffMG(ShardedMG):
     The distributed twin of VarCoeffCCMG2d: the serial instance computes
     the coefficient hierarchy (cell-centered eta restricted down, averaged
     onto edges pre-scaled by 1/dx^2) once at construction; every sharded
-    level's edge coefficients are then laid out block-padded so each device
-    holds exactly its own block (plus coefficient halos).  The smoother /
-    residual are the serial operators borrowed onto local grids.
+    level's edge coefficients are then laid out block-padded at that
+    level's halo depth so each device holds exactly its own block (plus
+    coefficient halos).  The smoother / residual are the serial operators
+    borrowed onto local grids (deep mode evaluates the identical update
+    formula on the deep frame).
     """
 
     def __init__(self, nx, ny, mesh, *,
@@ -558,6 +1008,7 @@ class ShardedVarCoeffMG(ShardedMG):
                  yl_BC_type="dirichlet", yr_BC_type="dirichlet",
                  nsmooth=10, nsmooth_bottom=50,
                  coeffs=None, coeffs_bc=None,
+                 comm_mode="deep", smoother="rbgs", nsmooth_speed=None,
                  verbose=0):
         _check_bcs(xl_BC_type, xr_BC_type, yl_BC_type, yr_BC_type)
 
@@ -567,13 +1018,14 @@ class ShardedVarCoeffMG(ShardedMG):
             yl_BC_type=yl_BC_type, yr_BC_type=yr_BC_type,
             nsmooth=nsmooth, nsmooth_bottom=nsmooth_bottom,
             coeffs=coeffs, coeffs_bc=coeffs_bc, verbose=0)
-        self._setup_mesh(serial, mesh, verbose)
+        self._setup_mesh(serial, mesh, verbose, comm_mode=comm_mode,
+                         smoother=smoother, nsmooth_speed=nsmooth_speed)
 
         # block-padded edge-coefficient layouts for the sharded levels
         self._local_coeffs = {
-            "eta_x": {k: self._block_layout(serial.edge_coeffs[k].x, k)
+            "eta_x": {k: self._coeff_layout(serial.edge_coeffs[k].x, k)
                       for k in range(self.k_cross, self.nlevels)},
-            "eta_y": {k: self._block_layout(serial.edge_coeffs[k].y, k)
+            "eta_y": {k: self._coeff_layout(serial.edge_coeffs[k].y, k)
                       for k in range(self.k_cross, self.nlevels)},
         }
 
@@ -585,7 +1037,17 @@ class ShardedVarCoeffMG(ShardedMG):
         return self._local_coeffs
 
     def _level_params(self, coarse_params, local_params):
-        return local_params
+        return self._ng1_view(local_params)
+
+    def _deep_gs_update(self, k, v, f, coarse_params, local_params):
+        ex = local_params["eta_x"][k]
+        ey = local_params["eta_y"][k]
+        exp1 = jnp.roll(ex, -1, -2)
+        eyp1 = jnp.roll(ey, -1, -1)
+        denom = exp1 + ex + eyp1 + ey
+        return (-f +
+                exp1 * jnp.roll(v, -1, -2) + ex * jnp.roll(v, 1, -2) +
+                eyp1 * jnp.roll(v, -1, -1) + ey * jnp.roll(v, 1, -1)) / denom
 
 
 class ShardedGeneralMG(ShardedMG):
@@ -604,6 +1066,7 @@ class ShardedGeneralMG(ShardedMG):
                  yl_BC_type="dirichlet", yr_BC_type="dirichlet",
                  nsmooth=10, nsmooth_bottom=50,
                  coeffs=None,
+                 comm_mode="deep", smoother="rbgs", nsmooth_speed=None,
                  verbose=0):
         _check_bcs(xl_BC_type, xr_BC_type, yl_BC_type, yr_BC_type)
 
@@ -613,19 +1076,20 @@ class ShardedGeneralMG(ShardedMG):
             yl_BC_type=yl_BC_type, yr_BC_type=yr_BC_type,
             nsmooth=nsmooth, nsmooth_bottom=nsmooth_bottom,
             coeffs=coeffs, verbose=0)
-        self._setup_mesh(serial, mesh, verbose)
+        self._setup_mesh(serial, mesh, verbose, comm_mode=comm_mode,
+                         smoother=smoother, nsmooth_speed=nsmooth_speed)
 
         rng = range(self.k_cross, self.nlevels)
         self._local_coeffs = {
-            "alpha": {k: self._block_layout(serial.aux["alpha"][k], k)
+            "alpha": {k: self._coeff_layout(serial.aux["alpha"][k], k)
                       for k in rng},
-            "gamma_x": {k: self._block_layout(serial.aux["gamma_x"][k], k)
+            "gamma_x": {k: self._coeff_layout(serial.aux["gamma_x"][k], k)
                         for k in rng},
-            "gamma_y": {k: self._block_layout(serial.aux["gamma_y"][k], k)
+            "gamma_y": {k: self._coeff_layout(serial.aux["gamma_y"][k], k)
                         for k in rng},
-            "beta_x": {k: self._block_layout(serial.beta_edge[k].x, k)
+            "beta_x": {k: self._coeff_layout(serial.beta_edge[k].x, k)
                        for k in rng},
-            "beta_y": {k: self._block_layout(serial.beta_edge[k].y, k)
+            "beta_y": {k: self._coeff_layout(serial.beta_edge[k].y, k)
                        for k in rng},
         }
 
@@ -637,4 +1101,20 @@ class ShardedGeneralMG(ShardedMG):
         return self._local_coeffs
 
     def _level_params(self, coarse_params, local_params):
-        return local_params
+        return self._ng1_view(local_params)
+
+    def _deep_gs_update(self, k, v, f, coarse_params, local_params):
+        g = self.serial.grids[k]
+        al = local_params["alpha"][k]
+        gx = 0.5 * local_params["gamma_x"][k] / g.dx
+        gy = 0.5 * local_params["gamma_y"][k] / g.dy
+        bx_ = local_params["beta_x"][k]
+        by_ = local_params["beta_y"][k]
+        bxp = jnp.roll(bx_, -1, -2)
+        byp = jnp.roll(by_, -1, -1)
+        denom = al - bxp - bx_ - byp - by_
+        return (f -
+                (bxp + gx) * jnp.roll(v, -1, -2) -
+                (bx_ - gx) * jnp.roll(v, 1, -2) -
+                (byp + gy) * jnp.roll(v, -1, -1) -
+                (by_ - gy) * jnp.roll(v, 1, -1)) / denom

@@ -249,6 +249,128 @@ class TestShardedMG:
         assert err < 3.0e-5, err
 
 
+class TestDeepHaloMG:
+    """The communication-avoiding deep-halo smoothing schedule (default
+    comm_mode='deep') must be BITWISE identical to the literal
+    exchange-per-half-sweep schedule ('sweep') -- redundant halo compute
+    replaces messages without changing a single arithmetic operation --
+    while cutting the ppermute count per V-cycle by >10x (VERDICT r03
+    item 1; reference smoother ghost-fill cadence:
+    /root/reference/pyro/multigrid/MG.py:544-599)."""
+
+    def _rhs(self, N):
+        x = (np.arange(N) + 0.5) / N
+        X, Y = np.meshgrid(x, x, indexing="ij")
+        return jnp.asarray(np.sin(2 * np.pi * X) * np.sin(2 * np.pi * Y) +
+                           0.3 * np.cos(3 * np.pi * X * Y))
+
+    @pytest.mark.parametrize("shape", [(2, 4), (1, 8)])
+    def test_deep_vs_sweep_bitwise(self, shape):
+        from pyro2_tpu.parallel.sharded_mg import ShardedMG
+
+        N = 64
+        mesh = make_mesh(shape=shape)
+        kw = dict(xl_BC_type="dirichlet", xr_BC_type="neumann",
+                  yl_BC_type="periodic", yr_BC_type="periodic",
+                  alpha=0.3, beta=-1.2)
+        sols = {}
+        for mode in ("sweep", "deep"):
+            mg = ShardedMG(N, N, mesh, comm_mode=mode, **kw)
+            mg.init_zeros()
+            mg.init_RHS(self._rhs(N))
+            mg.solve(rtol=1e-11)
+            sols[mode] = (np.asarray(mg.get_solution()), mg.num_cycles)
+        assert sols["deep"][1] == sols["sweep"][1]
+        assert np.array_equal(sols["deep"][0], sols["sweep"][0])
+
+    def test_deep_vs_sweep_bitwise_varcoeff(self):
+        import pyro2_tpu.mesh.boundary as bnd
+        from pyro2_tpu.mesh.grid import Grid2d
+        from pyro2_tpu.parallel.sharded_mg import ShardedVarCoeffMG
+
+        N = 64
+        g = Grid2d(N, N, ng=1)
+        bc_c = bnd.BC(xlb="neumann", xrb="neumann",
+                      ylb="neumann", yrb="neumann")
+        eta = jnp.asarray(2.0 + np.cos(2 * np.pi * g.x2d) *
+                          np.cos(2 * np.pi * g.y2d))
+        mesh = make_mesh(shape=(2, 4))
+        sols = {}
+        for mode in ("sweep", "deep"):
+            mg = ShardedVarCoeffMG(N, N, mesh, coeffs=eta, coeffs_bc=bc_c,
+                                   comm_mode=mode)
+            mg.init_zeros()
+            mg.init_RHS(self._rhs(N))
+            mg.solve(rtol=1e-11)
+            sols[mode] = np.asarray(mg.get_solution())
+        # identical arithmetic; separately compiled graphs may differ by
+        # instruction-fusion (FMA) ulps on the coefficient products
+        scale = max(1.0, np.abs(sols["sweep"]).max())
+        assert np.max(np.abs(sols["deep"] - sols["sweep"])) < 1e-12 * scale
+
+    def test_ppermute_collapse(self):
+        """The deep cycle's collective count must be >10x below the
+        sweep cycle's (exact jaxpr property, not a timing)."""
+        from pyro2_tpu.parallel.accounting import collective_stats
+        from pyro2_tpu.parallel.sharded_mg import ShardedMG
+
+        N = 64
+        mesh = make_mesh(shape=(2, 4))
+        counts = {}
+        for mode in ("sweep", "deep"):
+            mg = ShardedMG(N, N, mesh, comm_mode=mode)
+            mg.init_zeros()
+            mg.init_RHS(self._rhs(N))
+            fn = mg._build_cycle()
+            st = collective_stats(
+                lambda v, f: fn(v, f, mg._coarse_params(),
+                                mg._local_params()),
+                mg.v_int, mg.f_int)
+            counts[mode] = st.get("ppermute", {}).get("count", 0)
+        assert counts["deep"] * 10 < counts["sweep"], counts
+
+    @pytest.mark.parametrize("smoother", ["jacobi", "chebyshev"])
+    def test_speed_smoother_converges(self, smoother):
+        """Speed modes (SURVEY section 7: Jacobi/Chebyshev alternative to
+        the parity RB-GS) must reach the same tolerance within a few extra
+        V-cycles."""
+        from pyro2_tpu.parallel.sharded_mg import ShardedMG
+
+        N = 64
+        mesh = make_mesh(shape=(2, 4))
+        ref = ShardedMG(N, N, mesh)
+        ref.init_zeros()
+        ref.init_RHS(self._rhs(N))
+        ref.solve(rtol=1e-11)
+
+        mg = ShardedMG(N, N, mesh, smoother=smoother)
+        mg.init_zeros()
+        mg.init_RHS(self._rhs(N))
+        mg.solve(rtol=1e-11)
+        assert mg.residual_error < 1e-11
+        assert mg.num_cycles <= ref.num_cycles + 4, \
+            (mg.num_cycles, ref.num_cycles)
+
+    def test_jacobi_partition_invariant(self):
+        """Jacobi reads only old-iterate values, so it is partition-
+        invariant across mesh shapes to compilation ulps (Chebyshev is
+        not when per-level round schedules differ -- restarts reset the
+        polynomial)."""
+        from pyro2_tpu.parallel.sharded_mg import ShardedMG
+
+        N = 64
+        sols = []
+        for shape in [(1, 8), (2, 4)]:
+            mesh = make_mesh(shape=shape)
+            mg = ShardedMG(N, N, mesh, smoother="jacobi")
+            mg.init_zeros()
+            mg.init_RHS(self._rhs(N))
+            mg.solve(rtol=1e-11)
+            sols.append(np.asarray(mg.get_solution()))
+        scale = max(1.0, np.abs(sols[0]).max())
+        assert np.max(np.abs(sols[0] - sols[1])) < 1e-12 * scale
+
+
 class TestShardedVarCoeffMG:
     """Block-partitioned variable-coefficient MG: partition invariance vs
     the serial VarCoeffCCMG2d, plus the analytic vc-Poisson oracle
