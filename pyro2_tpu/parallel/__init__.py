@@ -17,3 +17,6 @@ from pyro2_tpu.parallel.sharded_burgers_viscous import \
     ShardedBurgersViscous
 from pyro2_tpu.parallel.sharded_lm_atm import ShardedLMAtm
 from pyro2_tpu.parallel.sharded_mg import ShardedMG
+from pyro2_tpu.parallel.sharded_mol import (ShardedCompressibleFV4,
+                                            ShardedCompressibleRK,
+                                            ShardedCompressibleSDC)

@@ -25,52 +25,52 @@ class Simulation(compressible_rk.Simulation):
                          problem_source_func=problem_source_func,
                          timers=timers, data_class=data_class)
 
-    def _substep_fn(self):
-        if not hasattr(self, "_substep_jit"):
-            myg = self.cc_data.grid
-            rp = self.rp
-            ivars = self.ivars
-            my_data = self.cc_data
-            problem_source = self.problem_source
-            small_dens = rp.get_param("compressible.small_dens")
-            do_sponge = rp.get_param("sponge.do_sponge")
-            iv_sl = (slice(None), slice(myg.ilo, myg.ihi + 1),
-                     slice(myg.jlo, myg.jhi + 1))
+    def _make_substep(self):
+        """The raw (unjitted) stage-increment closure (see
+        compressible_rk.Simulation._make_substep)."""
+        myg = self.cc_data.grid
+        rp = self.rp
+        ivars = self.ivars
+        my_data = self.cc_data
+        problem_source = self.problem_source
+        small_dens = rp.get_param("compressible.small_dens")
+        do_sponge = rp.get_param("sponge.do_sponge")
+        iv_sl = (slice(None), slice(myg.ilo, myg.ihi + 1),
+                 slice(myg.jlo, myg.jhi + 1))
 
-            def substep(U, t, dt):
-                U = U.at[(ivars.idens,) + iv_sl[1:]].set(
-                    jnp.maximum(U[(ivars.idens,) + iv_sl[1:]], small_dens))
+        def substep(U, t, dt):
+            U = U.at[(ivars.idens,) + iv_sl[1:]].set(
+                jnp.maximum(U[(ivars.idens,) + iv_sl[1:]], small_dens))
 
-                # sources at centers, converted back to averages
-                U_cc = to_centers_array(U, myg)
-                S = get_external_sources(t, dt, U_cc, ivars, rp, myg,
-                                         problem_source=problem_source)
-                Sv = ai(S, myg)
-                S = S.at[iv_sl].add(-myg.dx ** 2 * Sv.lap() / 24.0)
+            # sources at centers, converted back to averages
+            U_cc = to_centers_array(U, myg)
+            S = get_external_sources(t, dt, U_cc, ivars, rp, myg,
+                                     problem_source=problem_source)
+            Sv = ai(S, myg)
+            S = S.at[iv_sl].add(-myg.dx ** 2 * Sv.lap() / 24.0)
 
-                F_x, F_y = flx.fluxes(U, my_data, rp, ivars)
-                Fx = ai(F_x, myg)
-                Fy = ai(F_y, myg)
-                k_v = ((Fx.v() - Fx.ip(1)) / myg.dx +
-                       (Fy.v() - Fy.jp(1)) / myg.dy + S[iv_sl])
+            F_x, F_y = flx.fluxes(U, my_data, rp, ivars)
+            Fx = ai(F_x, myg)
+            Fy = ai(F_y, myg)
+            k_v = ((Fx.v() - Fx.ip(1)) / myg.dx +
+                   (Fy.v() - Fy.jp(1)) / myg.dy + S[iv_sl])
 
-                if do_sponge:
-                    kappa_f = get_sponge_factor(U, ivars, rp, myg)
-                    kf = ai(kappa_f, myg).v()
-                    Uv = ai(U, myg)
-                    k_v = k_v.at[ivars.ixmom].add(-kf * Uv.v()[ivars.ixmom])
-                    k_v = k_v.at[ivars.iymom].add(-kf * Uv.v()[ivars.iymom])
-                    k_v = k_v.at[ivars.iener].add(
-                        -kf * (Uv.v()[ivars.ixmom] ** 2 /
-                               Uv.v()[ivars.idens] +
-                               Uv.v()[ivars.iymom] ** 2 /
-                               Uv.v()[ivars.idens]))
+            if do_sponge:
+                kappa_f = get_sponge_factor(U, ivars, rp, myg)
+                kf = ai(kappa_f, myg).v()
+                Uv = ai(U, myg)
+                k_v = k_v.at[ivars.ixmom].add(-kf * Uv.v()[ivars.ixmom])
+                k_v = k_v.at[ivars.iymom].add(-kf * Uv.v()[ivars.iymom])
+                k_v = k_v.at[ivars.iener].add(
+                    -kf * (Uv.v()[ivars.ixmom] ** 2 /
+                           Uv.v()[ivars.idens] +
+                           Uv.v()[ivars.iymom] ** 2 /
+                           Uv.v()[ivars.idens]))
 
-                k = jnp.zeros_like(U)
-                return k.at[iv_sl].set(k_v)
+            k = jnp.zeros_like(U)
+            return k.at[iv_sl].set(k_v)
 
-            self._substep_jit = jax.jit(substep)
-        return self._substep_jit
+        return substep
 
     def preevolve(self):
         """Convert the cell-centered ICs to cell averages (dx == dy)."""

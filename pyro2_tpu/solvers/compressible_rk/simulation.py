@@ -20,55 +20,82 @@ class Simulation(compressible.Simulation):
 
     def _substep_fn(self):
         if not hasattr(self, "_substep_jit"):
-            myg = self.cc_data.grid
-            rp = self.rp
-            ivars = self.ivars
-            solid = self.solid
-            tc = self.tc
-            my_data = self.cc_data
-            problem_source = self.problem_source
-            small_dens = rp.get_param("compressible.small_dens")
-            do_sponge = rp.get_param("sponge.do_sponge")
-            iv_sl = (slice(None), slice(myg.ilo, myg.ihi + 1),
-                     slice(myg.jlo, myg.jhi + 1))
-
-            def substep(U, t, dt):
-                U = U.at[(ivars.idens,) + iv_sl[1:]].set(
-                    jnp.maximum(U[(ivars.idens,) + iv_sl[1:]], small_dens))
-
-                S = compressible.get_external_sources(
-                    t, dt, U, ivars, rp, myg,
-                    problem_source=problem_source)
-
-                F_x, F_y = flx.fluxes(U, my_data, rp, ivars, solid, tc)
-                Fx = ai(F_x, myg)
-                Fy = ai(F_y, myg)
-                k_v = ((Fx.v() - Fx.ip(1)) / myg.dx +
-                       (Fy.v() - Fy.jp(1)) / myg.dy +
-                       S[iv_sl])
-
-                if do_sponge:
-                    kappa_f = compressible.get_sponge_factor(U, ivars, rp,
-                                                             myg)
-                    kf = ai(kappa_f, myg).v()
-                    Uv = ai(U, myg)
-                    k_v = k_v.at[ivars.ixmom].add(-kf * Uv.v()[ivars.ixmom])
-                    k_v = k_v.at[ivars.iymom].add(-kf * Uv.v()[ivars.iymom])
-                    k_v = k_v.at[ivars.iener].add(
-                        -kf * (Uv.v()[ivars.ixmom] ** 2 /
-                               Uv.v()[ivars.idens] +
-                               Uv.v()[ivars.iymom] ** 2 /
-                               Uv.v()[ivars.idens]))
-
-                k = jnp.zeros_like(U)
-                return k.at[iv_sl].set(k_v)
-
-            self._substep_jit = jax.jit(substep)
+            self._substep_jit = jax.jit(self._make_substep())
         return self._substep_jit
+
+    def _make_substep(self):
+        """The raw (unjitted) stage-increment closure; the sharded MOL
+        path traces it inside shard_map with block-gated solid flags."""
+        myg = self.cc_data.grid
+        rp = self.rp
+        ivars = self.ivars
+        solid = self.solid
+        tc = self.tc
+        my_data = self.cc_data
+        problem_source = self.problem_source
+        small_dens = rp.get_param("compressible.small_dens")
+        do_sponge = rp.get_param("sponge.do_sponge")
+        iv_sl = (slice(None), slice(myg.ilo, myg.ihi + 1),
+                 slice(myg.jlo, myg.jhi + 1))
+
+        def substep(U, t, dt):
+            U = U.at[(ivars.idens,) + iv_sl[1:]].set(
+                jnp.maximum(U[(ivars.idens,) + iv_sl[1:]], small_dens))
+
+            S = compressible.get_external_sources(
+                t, dt, U, ivars, rp, myg,
+                problem_source=problem_source)
+
+            F_x, F_y = flx.fluxes(U, my_data, rp, ivars, solid, tc)
+            Fx = ai(F_x, myg)
+            Fy = ai(F_y, myg)
+            k_v = ((Fx.v() - Fx.ip(1)) / myg.dx +
+                   (Fy.v() - Fy.jp(1)) / myg.dy +
+                   S[iv_sl])
+
+            if do_sponge:
+                kappa_f = compressible.get_sponge_factor(U, ivars, rp,
+                                                         myg)
+                kf = ai(kappa_f, myg).v()
+                Uv = ai(U, myg)
+                k_v = k_v.at[ivars.ixmom].add(-kf * Uv.v()[ivars.ixmom])
+                k_v = k_v.at[ivars.iymom].add(-kf * Uv.v()[ivars.iymom])
+                k_v = k_v.at[ivars.iener].add(
+                    -kf * (Uv.v()[ivars.ixmom] ** 2 /
+                           Uv.v()[ivars.idens] +
+                           Uv.v()[ivars.iymom] ** 2 /
+                           Uv.v()[ivars.idens]))
+
+            k = jnp.zeros_like(U)
+            return k.at[iv_sl].set(k_v)
+
+        return substep
 
     def substep(self, myd):
         """The RK increment for the stage state myd."""
         return self._substep_fn()(myd.data, myd.t, self.dt)
+
+    def _make_dt(self):
+        """MOL CFL rule as a pure function of the padded stack (same
+        arithmetic as method_compute_timestep / derives.py, so the
+        sharded pmin of block minima is bitwise the serial min)."""
+        myg = self.cc_data.grid
+        gamma = self.rp.get_param("eos.gamma")
+        ivars = self.ivars
+
+        def dt_fn(U):
+            from pyro2_tpu.solvers.compressible import eos
+            dens = U[ivars.idens]
+            u = U[ivars.ixmom] / dens
+            v = U[ivars.iymom] / dens
+            e = (U[ivars.iener] - 0.5 * dens * (u * u + v * v)) / dens
+            p = eos.pres(gamma, dens, e)
+            cs = jnp.sqrt(gamma * p / dens)
+            xtmp = (jnp.abs(u) + cs) / myg.dx
+            ytmp = (jnp.abs(v) + cs) / myg.dy
+            return jnp.min(1.0 / (xtmp + ytmp))
+
+        return dt_fn
 
     def method_compute_timestep(self):
         """MOL CFL: dt = cfl * min(1 / ((|u|+cs)/dx + (|v|+cs)/dy))."""

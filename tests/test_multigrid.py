@@ -394,3 +394,70 @@ class TestMGExamples:
             finally:
                 os.chdir(cwd)
         assert dn[1] < 0.2 * dn[0], dn
+
+
+class TestIterativeRefinement:
+    """Double-f32 iterative refinement (multigrid/refine.py): the f32
+    solve's residual stall must be pushed >=1e4x deeper, recovering the
+    f64-solve answer (CPU twin of the hardware test in
+    test_precision_tpu.py)."""
+
+    def test_f32_deep_tolerance(self):
+        import jax.numpy as jnp
+        import numpy as np
+        from pyro2_tpu.multigrid import MG
+        from pyro2_tpu.multigrid.refine import solve_ir
+
+        N = 128
+        mg = MG.CellCenterMG2d(N, N, verbose=0)
+        g = mg.soln_grid
+        x, y = np.asarray(g.x2d), np.asarray(g.y2d)
+        f32 = jnp.asarray(
+            -2.0 * ((1.0 - 6.0 * x ** 2) * y ** 2 * (1.0 - y ** 2) +
+                    (1.0 - 6.0 * y ** 2) * x ** 2 * (1.0 - x ** 2)),
+            jnp.float32)
+        # force the whole hierarchy to f32 (conftest enables x64)
+        mg.v = [v.astype(jnp.float32) for v in mg.v]
+        mg.f = [v.astype(jnp.float32) for v in mg.f]
+        mg.init_zeros()
+        mg.init_RHS(f32)
+        mg.solve(rtol=1e-10)
+        res_direct = mg.residual_error
+        assert res_direct > 1e-6      # the documented f32 stall
+
+        mg.init_zeros()
+        mg.init_RHS(f32)
+        res, n_ref = solve_ir(mg, rtol=1e-10)
+        assert res < 1e-4 * res_direct, (res, res_direct)
+        assert res < 3e-9, res
+
+        # solution error reaches the f64-solve truncation level
+        mg64 = MG.CellCenterMG2d(N, N, verbose=0)
+        mg64.init_zeros()
+        mg64.init_RHS(jnp.asarray(f32, jnp.float64))
+        mg64.solve(rtol=1e-11)
+        v32 = np.asarray(mg.get_solution(), np.float64) + \
+            np.asarray(mg.v_lo, np.float64)
+        v64 = np.asarray(mg64.get_solution())
+        d = np.abs(v32 - v64)[g.ilo:g.ihi + 1, g.jlo:g.jhi + 1].max()
+        assert d < 1e-8, d
+
+    def test_two_sum_two_prod_exact(self):
+        import jax.numpy as jnp
+        import numpy as np
+        from pyro2_tpu.multigrid.refine import two_prod, two_sum
+
+        rng = np.random.default_rng(7)
+        a = jnp.asarray(rng.normal(size=128).astype(np.float32))
+        b = jnp.asarray((rng.normal(size=128) * 1e-6).astype(np.float32))
+        s, e = two_sum(a, b)
+        exact = (np.asarray(a, np.float64) + np.asarray(b, np.float64))
+        got = np.asarray(s, np.float64) + np.asarray(e, np.float64)
+        np.testing.assert_array_equal(got, exact)
+
+        p, pe = two_prod(a, b)
+        exactp = np.asarray(a, np.float64) * np.asarray(b, np.float64)
+        gotp = np.asarray(p, np.float64) + np.asarray(pe, np.float64)
+        # TwoProd is exact in f32: hi+lo equals the f64 product of the
+        # f32 inputs (which is itself exact: 24+24 bits < 53)
+        np.testing.assert_array_equal(gotp, exactp)

@@ -249,6 +249,97 @@ class TestShardedMG:
         assert err < 3.0e-5, err
 
 
+class TestShardedMOL:
+    """The sharded method-of-lines tier (parallel/sharded_mol.py):
+    compressible_rk / fv4 / sdc stage loops inside one shard_map program
+    must match the serial evolve (reference stage loop:
+    /root/reference/pyro/compressible_rk/simulation.py:73-104) and be
+    partition-invariant across mesh shapes."""
+
+    def _rp(self, solver, nx, ny):
+        rp = RuntimeParameters()
+        rp.load_params("pyro2_tpu/_defaults")
+        rp.load_params(f"pyro2_tpu/solvers/{solver}/_defaults")
+        for k, v in {"mesh.nx": nx, "mesh.ny": ny,
+                     "mesh.xlboundary": "periodic",
+                     "mesh.xrboundary": "periodic",
+                     "mesh.ylboundary": "periodic",
+                     "mesh.yrboundary": "periodic",
+                     "driver.verbose": 0, "vis.dovis": 0,
+                     "io.do_io": 0}.items():
+            rp.set_param(k, v, no_new=False)
+        return rp
+
+    @pytest.mark.parametrize("solver", ["compressible_rk",
+                                        "compressible_fv4",
+                                        "compressible_sdc"])
+    def test_matches_serial(self, solver):
+        from pyro2_tpu.parallel import sharded_mol
+        cls = {"compressible_rk": sharded_mol.ShardedCompressibleRK,
+               "compressible_fv4": sharded_mol.ShardedCompressibleFV4,
+               "compressible_sdc": sharded_mol.ShardedCompressibleSDC}[
+            solver]
+        mesh = make_mesh(8)
+        sc = cls(self._rp(solver, 32, 32), mesh, problem="advect")
+        gs = sc.global_sim
+        if solver != "compressible_rk":
+            gs.preevolve()
+        U = sc.global_interior()
+        dt = 0.002
+        U1 = sc.step(U, 0.0, dt)
+        U2 = sc.step(U1, dt, dt)
+
+        gs.dt = dt
+        for _ in range(2):
+            gs.cc_data.fill_BC_all()
+            gs.evolve()
+        gg = gs.cc_data.grid
+        U_ref = np.asarray(gs.cc_data.data[:, gg.ilo:gg.ihi + 1,
+                                           gg.jlo:gg.jhi + 1])
+        scale = np.abs(U_ref).max()
+        assert np.max(np.abs(np.asarray(U2) - U_ref)) < 1e-13 * scale
+
+        # pmin CFL dt matches the serial full-array min
+        gs2 = sc.global_sim
+        dt_serial = None
+        gs2.cc_data.fill_BC_all()
+        gs2.method_compute_timestep()
+        dt_serial = gs2.dt
+        Ui = gs2.cc_data.data[:, gg.ilo:gg.ihi + 1, gg.jlo:gg.jhi + 1]
+        import jax as _jax
+        from jax.sharding import NamedSharding, PartitionSpec as _P
+        Ui = _jax.device_put(Ui, NamedSharding(mesh, _P(None, "x", "y")))
+        assert abs(sc.compute_dt(Ui) - dt_serial) < 1e-13 * dt_serial
+
+    def test_rk_partition_invariance(self):
+        from pyro2_tpu.parallel.sharded_mol import ShardedCompressibleRK
+        outs = []
+        for shape in [(2, 4), (1, 8)]:
+            mesh = make_mesh(shape=shape)
+            sc = ShardedCompressibleRK(self._rp("compressible_rk", 32, 32),
+                                       mesh, problem="advect")
+            U = sc.init_interior()
+            U = sc.step(U, 0.0, 0.002)
+            outs.append(np.asarray(U))
+        scale = np.abs(outs[0]).max()
+        assert np.max(np.abs(outs[0] - outs[1])) < 1e-13 * scale
+
+    def test_fv4_preevolve_matches_serial(self):
+        from pyro2_tpu.parallel.sharded_mol import ShardedCompressibleFV4
+        mesh = make_mesh(8)
+        sc = ShardedCompressibleFV4(self._rp("compressible_fv4", 32, 32),
+                                    mesh, problem="advect")
+        U = sc.init_interior()
+        U = sc.preevolve_interior(U)
+        gs = sc.global_sim
+        gs.preevolve()
+        gg = gs.cc_data.grid
+        U_ref = np.asarray(gs.cc_data.data[:, gg.ilo:gg.ihi + 1,
+                                           gg.jlo:gg.jhi + 1])
+        np.testing.assert_allclose(np.asarray(U), U_ref, rtol=0,
+                                   atol=1e-14 * np.abs(U_ref).max())
+
+
 class TestDeepHaloMG:
     """The communication-avoiding deep-halo smoothing schedule (default
     comm_mode='deep') must be BITWISE identical to the literal
