@@ -20,3 +20,5 @@ from pyro2_tpu.parallel.sharded_mg import ShardedMG
 from pyro2_tpu.parallel.sharded_mol import (ShardedCompressibleFV4,
                                             ShardedCompressibleRK,
                                             ShardedCompressibleSDC)
+from pyro2_tpu.parallel.sharded_particles import \
+    make_sharded_particle_advance

@@ -19,6 +19,13 @@ reference has no counterpart (its fill_BC is serial); this is the
 "halo exchange overlapped with interior stencil compute" north star of
 BASELINE.md.
 
+STATUS (r04): measured slower than the sequential step everywhere, and
+docs/DESIGN.md section 11 shows the loss is structural on ICI -- the
+rim recompute (>=1.3 ns/zone) costs more than the transfer it hides
+(~0.7 ns/zone), and both scale with the block perimeter.  Kept
+default-OFF as the measured record; the trade inverts only on
+DCN-class links.
+
 Partition invariance stays BITWISE: every output cell is produced by
 the same elementwise formula graph on the same inputs as the plain
 sharded step -- core cells by the full-block program, rim cells by

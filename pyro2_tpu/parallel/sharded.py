@@ -321,6 +321,43 @@ class ShardedSim:
             out_specs=spec)
         return jax.jit(body_sharded)
 
+    def build_step_with_particles(self, particles):
+        """A jitted (U_int, pos, active, t, dt) -> (U_int', pos',
+        active') step: the sharded grid step followed by the replicated
+        particle advance on the post-step velocities -- with the ghost
+        ring stale from the pre-step fill, exactly like the serial
+        evolve's update_particles call (compressible/simulation.py).
+
+        `particles` is a serial global-grid Particles instance (supplies
+        geometry, BCs, enforcement); its positions/active arrays are the
+        replicated carries.
+        """
+        from pyro2_tpu.driver_loop import _particle_velocity_fn
+        from pyro2_tpu.parallel.sharded_particles import \
+            make_sharded_particle_advance
+        adv = make_sharded_particle_advance(particles, self.local_grid,
+                                            self.px, self.py)
+        local_step = self.local_sim._make_step()
+        vel = _particle_velocity_fn(self.local_sim)
+        ng = self.ng
+
+        def body(U_int, pos, active, t, dt):
+            pad = [(0, 0)] * U_int.ndim
+            pad[-2] = (ng, ng)
+            pad[-1] = (ng, ng)
+            U = self._fill_local(jnp.pad(U_int, pad), t)
+            self._gate_solid()
+            U = local_step(U, t, dt)
+            u2d, v2d = vel(U)
+            pos, active = adv(pos, active, u2d, v2d, dt)
+            return U[..., ng:-ng, ng:-ng], pos, active
+
+        spec = P(None, "x", "y")
+        return jax.jit(jax.shard_map(
+            body, mesh=self.mesh,
+            in_specs=(spec, P(), P(), P(), P()),
+            out_specs=(spec, P(), P())))
+
     def _build_dt(self):
         local_dt = self.local_sim._make_dt()
         ng = self.ng

