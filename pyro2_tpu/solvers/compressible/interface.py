@@ -119,14 +119,21 @@ def states(idir, g, dxa, dloga, dt, ivars, gamma, qv, dqv):
     q_r_win = q_r_win + jnp.stack(corr_r)
 
     # geometric source (spherical): only rho and p pick it up; a scalar 0
-    # (Cartesian fast path) skips it entirely
+    # (Cartesian fast path) skips it entirely.  Row-list rebuild instead
+    # of .at[component].add so the expression lowers inside Pallas
+    # kernels (Mosaic has no scatter); per-row arithmetic is identical.
     if jnp.ndim(dloga) != 0:
         dloga_w = _win(jnp.asarray(dloga), g, b)
         rho_source = -0.5 * dt * dloga_w * rho * un
-        q_l_win = q_l_win.at[irho].add(rho_source)
-        q_r_win = q_r_win.at[irho].add(rho_source)
-        q_l_win = q_l_win.at[ip].add(rho_source * cs ** 2)
-        q_r_win = q_r_win.at[ip].add(rho_source * cs ** 2)
+
+        def add_rows(stack):
+            rows = [stack[n] for n in range(nq)]
+            rows[irho] = rows[irho] + rho_source
+            rows[ip] = rows[ip] + rho_source * cs ** 2
+            return jnp.stack(rows)
+
+        q_l_win = add_rows(q_l_win)
+        q_r_win = add_rows(q_r_win)
 
     # scatter: q_l shifted +1 toward the interface it feeds
     from pyro2_tpu.mesh.indexer import embed
@@ -201,15 +208,32 @@ def artificial_viscosity(g, cvisc, u, v, edges=None):
         divU_w = (ur - ul) / g.dx + (vt - vb) / g.dy
     else:
         b = 1
-        # node-centered r and theta lines over the window
-        i_sl = slice(g.ilo - b, g.ihi + 2 + b - 1)
-        j_sl = slice(g.jlo - b, g.jhi + 2 + b - 1)
-        rc = g.xl[i_sl][:, None]            # node r at i-1/2
-        rr = g.x[i_sl][:, None]             # center r of cell i
-        rl = (g.x[i_sl] - g.dx)[:, None]    # center r of cell i-1
-        sinc = np.sin(g.yl[j_sl])[None, :]
-        sint = np.sin(g.y[j_sl])[None, :]
-        sinb = np.sin(g.y[j_sl] - g.dy)[None, :]
+        # node-centered r and theta trig factors as (qx, qy) planes
+        # windowed through _win: identical values to slicing the 1-D
+        # coordinate lines (they are broadcasts of them), but the plane
+        # form also serves the fused kernel, whose band grid proxy
+        # precomputes them globally (host f64 -> working dtype) and hands
+        # traced band slices via _plane_* attributes
+        def geom_plane(name, build):
+            p = getattr(g, "_plane_" + name, None)
+            if p is None:
+                p = build()
+            return _win(jnp.asarray(p), g, buf=b)
+
+        qxn, qyn = g.qx, g.qy
+
+        def rows(vec):
+            return np.broadcast_to(np.asarray(vec)[:, None], (qxn, qyn))
+
+        def lanes(vec):
+            return np.broadcast_to(np.asarray(vec)[None, :], (qxn, qyn))
+
+        rc = geom_plane("rc", lambda: rows(g.xl))          # node r i-1/2
+        rr = geom_plane("rr", lambda: rows(g.x))           # center r, i
+        rl = geom_plane("rl", lambda: rows(g.x - g.dx))    # center r, i-1
+        sinc = geom_plane("sinc", lambda: lanes(np.sin(g.yl)))
+        sint = geom_plane("sint", lambda: lanes(np.sin(g.y)))
+        sinb = geom_plane("sinb", lambda: lanes(np.sin(g.y - g.dy)))
 
         ur = 0.5 * (uv.v(buf=b) + uv.jp(-1, buf=b))
         ul = 0.5 * (uv.ip(-1, buf=b) + uv.ip_jp(-1, -1, buf=b))

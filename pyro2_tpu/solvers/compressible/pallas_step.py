@@ -26,10 +26,18 @@ from pyro2_tpu.mesh.grid import Cartesian2d
 NG = 4
 
 
+# geometry planes the spherical band kernel DMAs alongside the state:
+# the pipeline's grid-attribute reads (Lx..V), the radial coordinate for
+# sources, and the precomputed avisc trig planes (host f64 -> f32, so
+# in-kernel values are bitwise the jnp f32 path's)
+SPH_PLANES = ("Lx", "Ly", "dlogAx", "dlogAy", "Ax", "Ay", "V", "x2d",
+              "rc", "rr", "rl", "sinc", "sint", "sinb")
+
+
 def _local_step_fn(tile_rows, ny, dx, dy, gamma, rp_params, ivars_proto,
                    stages=4, *, ny_actual=None, nx_total=None,
                    small_dens=None, with_sources=False, do_sponge=False,
-                   solid=(0, 0, 0, 0), n_bands=None):
+                   solid=(0, 0, 0, 0), n_bands=None, spherical=False):
     """The single-block CTU pipeline specialized to the band grid.
 
     stages < 4 truncates the pipeline after that stage (1 = interface
@@ -82,12 +90,40 @@ def _local_step_fn(tile_rows, ny, dx, dy, gamma, rp_params, ivars_proto,
     # keep ALL y columns (lane alignment); the host wrapper slices y
     iv_sl = (slice(None), slice(g.ilo, g.ihi + 1), slice(None))
 
-    def step(U, dt, t=None, S=None, band_i=None):
+    def step(U, dt, t=None, S=None, band_i=None, G=None):
         # full-frame mode: windows become rolls, embeds become masks --
         # the only view forms Mosaic can lower.  Interior results are
         # identical to the windowed pipeline (see indexer.full_frame).
         from pyro2_tpu.mesh import indexer as _ix
         from pyro2_tpu.solvers.compressible import simulation as comp
+
+        if spherical:
+            # band grid proxy: Grid2d statics from the Cartesian band
+            # grid + the DMA'd per-band geometry planes (SURVEY.md
+            # section 7: geometry as precomputed per-band arrays keeps
+            # the kernel geometry-agnostic)
+            class _Geom:
+                pass
+
+            gp = _Geom()
+            for a in ("dx", "dy", "ng", "ilo", "ihi", "jlo", "jhi",
+                      "qx", "qy", "nx", "ny"):
+                setattr(gp, a, getattr(g, a))
+            gp.coord_type = 1
+            for n, name in enumerate(SPH_PLANES):
+                if name in ("rc", "rr", "rl", "sinc", "sint", "sinb"):
+                    setattr(gp, "_plane_" + name, G[n])
+                else:
+                    setattr(gp, name, G[n])
+
+            class _DataSph:
+                grid = gp
+
+            gg = gp
+            data = _DataSph()
+        else:
+            gg = g
+            data = my_data
 
         if band_i is None:
             class _Solid:
@@ -128,7 +164,7 @@ def _local_step_fn(tile_rows, ny, dx, dy, gamma, rp_params, ivars_proto,
                 U = jnp.stack(rows)
 
             U_xl, U_xr, U_yl, U_yr = flx.interface_states(
-                U, my_data, rp, ivars, tc, dt)
+                U, data, rp, ivars, tc, dt)
             if stages == 1:
                 return (U_xl + U_xr + U_yl + U_yr)[iv_sl]
 
@@ -148,49 +184,80 @@ def _local_step_fn(tile_rows, ny, dx, dy, gamma, rp_params, ivars_proto,
                 wmask = ((gi >= -1) & (gi < nx_total + 1) &
                          (yi >= NG - 1) & (yi < NG + ny_actual + 1))
                 U_xl, U_xr, U_yl, U_yr = flx.apply_source_terms(
-                    U_xl, U_xr, U_yl, U_yr, U, t, my_data, _AuxShim(),
+                    U_xl, U_xr, U_yl, U_yr, U, t, data, _AuxShim(),
                     rp, ivars, tc, dt, window_mask=wmask)
 
             U_xl, U_xr, U_yl, U_yr = flx.apply_transverse_flux(
-                U_xl, U_xr, U_yl, U_yr, my_data, rp, ivars, solid_b, tc,
+                U_xl, U_xr, U_yl, U_yr, data, rp, ivars, solid_b, tc,
                 dt)
             if stages == 2:
                 return (U_xl + U_xr + U_yl + U_yr)[iv_sl]
-            F_x = riemann.riemann_flux(1, U_xl, U_xr, my_data, rp, ivars,
-                                       solid_b.xl, solid_b.xr, tc)
-            F_y = riemann.riemann_flux(2, U_yl, U_yr, my_data, rp, ivars,
-                                       solid_b.yl, solid_b.yr, tc)
+            if spherical:
+                F_x, U_x = riemann.riemann_flux(
+                    1, U_xl, U_xr, data, rp, ivars, solid_b.xl,
+                    solid_b.xr, tc, return_cons=True)
+                F_y, U_y = riemann.riemann_flux(
+                    2, U_yl, U_yr, data, rp, ivars, solid_b.yl,
+                    solid_b.yr, tc, return_cons=True)
+                qx_i = comp.cons_to_prim(U_x, gamma, ivars, gg)
+                qy_i = comp.cons_to_prim(U_y, gamma, ivars, gg)
+            else:
+                F_x = riemann.riemann_flux(1, U_xl, U_xr, data, rp,
+                                           ivars, solid_b.xl, solid_b.xr,
+                                           tc)
+                F_y = riemann.riemann_flux(2, U_yl, U_yr, data, rp,
+                                           ivars, solid_b.yl, solid_b.yr,
+                                           tc)
             if stages == 3:
                 return (F_x + F_y)[iv_sl]
 
-            q = comp.cons_to_prim(U, gamma, ivars, g)
+            q = comp.cons_to_prim(U, gamma, ivars, gg)
             F_x, F_y = flx.apply_artificial_viscosity(F_x, F_y, q, U,
-                                                      my_data, rp, ivars)
+                                                      data, rp, ivars)
 
             # same arithmetic form as simulation._make_step's update
             from pyro2_tpu.mesh.indexer import aic
-            Fx = ai(F_x, g)
-            Fy = ai(F_y, g)
-            Ax = aic(dy)
-            Ay = aic(dx)
-            dtdV = dt / jnp.asarray(dx * dy)
+            Fx = ai(F_x, gg)
+            Fy = ai(F_y, gg)
+            if spherical:
+                dtdV = dt / ai(gg.V, gg).v()
+                Ax = ai(gg.Ax, gg)
+                Ay = ai(gg.Ay, gg)
+            else:
+                Ax = aic(dy)
+                Ay = aic(dx)
+                dtdV = dt / jnp.asarray(dx * dy)
             upd = dtdV[None] * (
                 Fx.v() * Ax.v()[None] - Fx.ip(1) * Ax.ip(1)[None] +
                 Fy.v() * Ay.v()[None] - Fy.jp(1) * Ay.jp(1)[None])
             out = U + upd
 
+            if spherical:
+                # non-conservative pressure gradients (momenta), as
+                # row-list rebuilds (scatter-free)
+                Lxv = ai(gg.Lx, gg)
+                Lyv = ai(gg.Ly, gg)
+                qxp = ai(qx_i[ivars.ip], gg)
+                qyp = ai(qy_i[ivars.ip], gg)
+                rows = [out[n] for n in range(ivars.nvar)]
+                rows[ivars.ixmom] = rows[ivars.ixmom] + \
+                    (-dt * (qxp.ip(1) - qxp.v()) / Lxv.v())
+                rows[ivars.iymom] = rows[ivars.iymom] + \
+                    (-dt * (qyp.jp(1) - qyp.v()) / Lyv.v())
+                out = jnp.stack(rows)
+
             if with_sources:
                 # predictor-corrector external sources (pointwise; only
                 # owned rows are written back, so full-frame adds match
                 # the jnp step's interior-windowed adds there)
-                S_old = comp.get_external_sources(t, dt, U, ivars, rp, g)
+                S_old = comp.get_external_sources(t, dt, U, ivars, rp, gg)
                 out = out + dt * S_old
                 S_new = comp.get_external_sources(t, dt, out, ivars, rp,
-                                                  g, U_old=U)
+                                                  gg, U_old=U)
                 out = out + 0.5 * dt * (S_new - S_old)
 
             if do_sponge:
-                kappa_f = comp.get_sponge_factor(out, ivars, rp, g)
+                kappa_f = comp.get_sponge_factor(out, ivars, rp, gg)
                 damp = 1.0 + dt * kappa_f
                 pre_x = out[ivars.ixmom]
                 pre_y = out[ivars.iymom]
@@ -446,8 +513,7 @@ def make_pallas_ctu_step_padded_general(sim, tile_rows=None,
     rp = sim.rp
     myg = sim.cc_data.grid
     ivars = sim.ivars
-    if getattr(myg, "coord_type", 0) != 0:
-        raise IneligibleStep("spherical geometry")
+    spherical = getattr(myg, "coord_type", 0) == 1
     if sim.problem_source is not None:
         raise IneligibleStep("problem source terms use global coordinates")
 
@@ -462,7 +528,9 @@ def make_pallas_ctu_step_padded_general(sim, tile_rows=None,
 
     gamma = rp.get_param("eos.gamma")
     grav = rp.get_param("compressible.grav")
-    with_sources = grav != 0.0
+    # spherical geometry has nonzero geometric (centrifugal/Coriolis-
+    # like) sources even with grav == 0 (simulation.get_external_sources)
+    with_sources = grav != 0.0 or spherical
     do_sponge = bool(rp.get_param("sponge.do_sponge"))
     small_dens = rp.get_param("compressible.small_dens")
     solid = (sim.solid.xl, sim.solid.xr, sim.solid.yl, sim.solid.yr)
@@ -471,52 +539,68 @@ def make_pallas_ctu_step_padded_general(sim, tile_rows=None,
         tile_rows, ny_eff, myg.dx, myg.dy, gamma, rp.params, ivars,
         ny_actual=ny, nx_total=nx, small_dens=small_dens,
         with_sources=with_sources, do_sponge=do_sponge, solid=solid,
-        n_bands=n_tiles)
+        n_bands=n_tiles, spherical=spherical)
 
     band_in = tile_rows + 2 * NGX
+    n_geo = len(SPH_PLANES)
 
     def kernel(sc_ref, U_hbm, *rest):
-        if with_sources:
-            (S_hbm, out_hbm, band_vmem, s_vmem, res_vmem,
-             sem_in, sem_s, sem_out) = rest
-        else:
-            out_hbm, band_vmem, res_vmem, sem_in, sem_out = rest
-            S_loc = None
+        rest = list(rest)
+        S_hbm = rest.pop(0) if with_sources else None
+        G_hbm = rest.pop(0) if spherical else None
+        out_hbm = rest.pop(0)
+        band_vmem = rest.pop(0)
+        s_vmem = rest.pop(0) if with_sources else None
+        g_vmem = rest.pop(0) if spherical else None
+        res_vmem = rest.pop(0)
+        sems = rest
+        S_loc = None
+        G_loc = None
         i = pl.program_id(0)
         start = pl.multiple_of(i * tile_rows, 8)
         cp = pltpu.make_async_copy(
-            U_hbm.at[:, pl.ds(start, band_in), :], band_vmem, sem_in)
+            U_hbm.at[:, pl.ds(start, band_in), :], band_vmem, sems[0])
         cp.start()
+        si = 1
         if with_sources:
             cps = pltpu.make_async_copy(
-                S_hbm.at[:, pl.ds(start, band_in), :], s_vmem, sem_s)
+                S_hbm.at[:, pl.ds(start, band_in), :], s_vmem, sems[si])
+            si += 1
             cps.start()
             cps.wait()
             S_loc = s_vmem[:, NGX - NG:NGX + tile_rows + NG, :]
+        if spherical:
+            cpg = pltpu.make_async_copy(
+                G_hbm.at[:, pl.ds(start, band_in), :], g_vmem, sems[si])
+            si += 1
+            cpg.start()
+            cpg.wait()
+            G_loc = g_vmem[:, NGX - NG:NGX + tile_rows + NG, :]
         cp.wait()
         U_loc = band_vmem[:, NGX - NG:NGX + tile_rows + NG, :]
         res_vmem[...] = local_step(U_loc, sc_ref[0], t=sc_ref[1],
-                                   S=S_loc, band_i=i)
+                                   S=S_loc, band_i=i, G=G_loc)
         wstart = pl.multiple_of(NGX + i * tile_rows, 8)
         cpo = pltpu.make_async_copy(
-            res_vmem, out_hbm.at[:, pl.ds(wstart, tile_rows), :], sem_out)
+            res_vmem, out_hbm.at[:, pl.ds(wstart, tile_rows), :],
+            sems[si])
         cpo.start()
         cpo.wait()
 
     scratch = [pltpu.VMEM((nvar, band_in, qy_pad), jnp.float32)]
     if with_sources:
         scratch.append(pltpu.VMEM((4, band_in, qy_pad), jnp.float32))
+    if spherical:
+        scratch.append(pltpu.VMEM((n_geo, band_in, qy_pad), jnp.float32))
     scratch.append(pltpu.VMEM((nvar, tile_rows, qy_pad), jnp.float32))
-    scratch.append(pltpu.SemaphoreType.DMA(()))
-    if with_sources:
-        scratch.append(pltpu.SemaphoreType.DMA(()))
-    scratch.append(pltpu.SemaphoreType.DMA(()))
+    n_sems = 2 + int(with_sources) + int(spherical)
+    scratch += [pltpu.SemaphoreType.DMA(())] * n_sems
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] *
-        (2 if with_sources else 1),
+        (1 + int(with_sources) + int(spherical)),
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=scratch,
     )
@@ -559,10 +643,37 @@ def make_pallas_ctu_step_padded_general(sim, tile_rows=None,
             U = sim.cc_data.fill_bc_stack(from_padded(P), t=t)
             return P.at[:, NGX - NG:NGX + nx + NG, :qy].set(U)
 
+    GP = None
+    if spherical:
+        import numpy as np
+        qx = myg.qx
+
+        def rows(vec):
+            return np.broadcast_to(np.asarray(vec)[:, None], (qx, qy))
+
+        def lanes(vec):
+            return np.broadcast_to(np.asarray(vec)[None, :], (qx, qy))
+
+        plane_vals = {
+            "Lx": myg.Lx, "Ly": myg.Ly, "dlogAx": myg.dlogAx,
+            "dlogAy": myg.dlogAy, "Ax": myg.Ax, "Ay": myg.Ay,
+            "V": myg.V, "x2d": myg.x2d,
+            "rc": rows(myg.xl), "rr": rows(myg.x),
+            "rl": rows(myg.x - myg.dx),
+            "sinc": lanes(np.sin(myg.yl)), "sint": lanes(np.sin(myg.y)),
+            "sinb": lanes(np.sin(myg.y - myg.dy)),
+        }
+        G_np = np.zeros((n_geo, qxp, qy_pad), np.float32)
+        for n, name in enumerate(SPH_PLANES):
+            G_np[n, NGX - NG:NGX + nx + NG, :qy] = \
+                np.asarray(plane_vals[name], np.float64)
+        GP = jnp.asarray(G_np)
+
     @jax.jit
     def step(P, t, dt):
         sc = jnp.stack([jnp.asarray(dt, jnp.float32),
                         jnp.asarray(t, jnp.float32)])
+        args = [sc, P]
         if with_sources:
             U = from_padded(P)
             S_full = comp.get_external_sources(t, dt, U, ivars, rp, myg)
@@ -572,7 +683,9 @@ def make_pallas_ctu_step_padded_general(sim, tile_rows=None,
             SP = jnp.zeros((4, qxp, qy_pad), jnp.float32)
             SP = SP.at[:, NGX - NG:NGX + nx + NG, :qy].set(
                 Sst.astype(jnp.float32))
-            return pallas_step(sc, P, SP)
-        return pallas_step(sc, P)
+            args.append(SP)
+        if spherical:
+            args.append(GP)
+        return pallas_step(*args)
 
     return to_padded, from_padded, fill, step

@@ -197,23 +197,33 @@ def apply_transverse_flux(U_xl, U_xr, U_yl, U_yr,
                                  Fx.v(buf=b) * Ax.v(buf=b)), myg, b)
 
     if getattr(myg, "coord_type", 0) == 1:
-        # non-conservative transverse pressure gradients (momentum only)
+        # non-conservative transverse pressure gradients (momentum only):
+        # single-component embed adds (scatter-free so the expression
+        # lowers inside Pallas kernels; identical arithmetic to the
+        # windowed .at[component].add form)
         Lx = ai(jnp.asarray(myg.Lx), myg)
         Ly = ai(jnp.asarray(myg.Ly), myg)
         qxv = ai(qx[ivars.ip], myg)
         qyv = ai(qy[ivars.ip], myg)
-        sl = (slice(None), slice(myg.ilo - 2, myg.ihi + 2),
-              slice(myg.jlo - 2, myg.jhi + 2))
-        sly = (ivars.iymom,) + sl[1:]
-        slx = (ivars.ixmom,) + sl[1:]
-        U_xl = U_xl.at[sly].add(-hdt * (qyv.ip_jp(-1, 1, buf=b) -
-                                        qyv.ip(-1, buf=b)) / Ly.v(buf=b))
-        U_xr = U_xr.at[sly].add(-hdt * (qyv.jp(1, buf=b) -
-                                        qyv.v(buf=b)) / Ly.v(buf=b))
-        U_yl = U_yl.at[slx].add(-hdt * (qxv.ip_jp(1, -1, buf=b) -
-                                        qxv.jp(-1, buf=b)) / Lx.v(buf=b))
-        U_yr = U_yr.at[slx].add(-hdt * (qxv.ip(1, buf=b) -
-                                        qxv.v(buf=b)) / Lx.v(buf=b))
+
+        def mom_add(U_st, comp_i, expr):
+            zero = jnp.zeros_like(expr)
+            win = jnp.stack([expr if n == comp_i else zero
+                             for n in range(ivars.nvar)])
+            return U_st + embed(win, myg, b)
+
+        U_xl = mom_add(U_xl, ivars.iymom,
+                       -hdt * (qyv.ip_jp(-1, 1, buf=b) -
+                               qyv.ip(-1, buf=b)) / Ly.v(buf=b))
+        U_xr = mom_add(U_xr, ivars.iymom,
+                       -hdt * (qyv.jp(1, buf=b) -
+                               qyv.v(buf=b)) / Ly.v(buf=b))
+        U_yl = mom_add(U_yl, ivars.ixmom,
+                       -hdt * (qxv.ip_jp(1, -1, buf=b) -
+                               qxv.jp(-1, buf=b)) / Lx.v(buf=b))
+        U_yr = mom_add(U_yr, ivars.ixmom,
+                       -hdt * (qxv.ip(1, buf=b) -
+                               qxv.v(buf=b)) / Lx.v(buf=b))
 
     tm_transverse.end()
     return U_xl, U_xr, U_yl, U_yr

@@ -120,3 +120,52 @@ class TestQuadSymmetry:
         g = p.get_grid()
         dens = np.asarray(ai(p.get_var("density"), g).v())
         np.testing.assert_allclose(dens, dens.T, rtol=1e-10)
+
+
+class TestSphericalFusedKernel:
+    """Interpret-mode twin of test_pallas_tpu's spherical kernel test:
+    the geometry-plane band kernel must match the jnp step to f32
+    interpret ulps on CPU (the identical kernels Mosaic-compile on
+    hardware)."""
+
+    def test_spherical_kernel_interpret_vs_jnp(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from pyro2_tpu import Pyro
+        from pyro2_tpu.solvers.compressible.pallas_step import \
+            make_pallas_ctu_step_padded_general
+
+        p = Pyro("compressible")
+        p.initialize_problem("advect", inputs_dict={
+            "mesh.nx": 32, "mesh.ny": 32,
+            "mesh.grid_type": "SphericalPolar",
+            "mesh.xmin": 0.5, "mesh.xmax": 1.0,
+            "mesh.ymin": 0.7853981633974483,
+            "mesh.ymax": 2.356194490192345,
+            "mesh.xlboundary": "outflow", "mesh.xrboundary": "outflow",
+            "mesh.ylboundary": "outflow", "mesh.yrboundary": "outflow",
+            "compressible.riemann": "CGF",
+            "driver.verbose": 0, "vis.dovis": 0, "io.do_io": 0,
+            "particles.do_particles": 0})
+        sim = p.sim
+        myg = sim.cc_data.grid
+        ng = myg.ng
+
+        to_p, from_p, fill_p, step_p = \
+            make_pallas_ctu_step_padded_general(sim, interpret=True)
+        step_ref = jax.jit(sim._make_step())
+
+        sim.cc_data.fill_BC_all()
+        U0 = sim.cc_data.data.astype(jnp.float32)
+        dt = jnp.asarray(1e-3, jnp.float32)
+        t = jnp.asarray(0.0, jnp.float32)
+
+        Pf = fill_p(to_p(U0), t)
+        U = np.asarray(step_ref(from_p(Pf), t, dt))
+        got = np.asarray(from_p(step_p(Pf, t, dt)))
+        a = U[:, ng:-ng, ng:-ng]
+        b = got[:, ng:-ng, ng:-ng]
+        scale = np.abs(a).max()
+        assert np.abs(a - b).max() < 1e-5 * scale
