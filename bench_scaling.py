@@ -132,20 +132,35 @@ def measure(out_path):
         print(json.dumps({"measured_ctu": row}), flush=True)
 
         mg_row = {"ndev": ndev, "mesh": f"{px}x{py}"}
-        smg = ShardedMG(NX_STRONG, NX_STRONG, mesh, alpha=0.0, beta=-1.0)
-        smg.init_zeros()
-        g = smg.soln_grid
-        rhs = jnp.sin(2 * jnp.pi * jnp.asarray(g.x2d)) * \
-            jnp.sin(2 * jnp.pi * jnp.asarray(g.y2d))
-        smg.init_RHS(rhs)
-        cyc = smg._build_cycle()
-        cp, lp = smg._coarse_params(), smg._local_params()
-        mg_row["t_vcycle_strong_ms"] = round(_time_step(
-            lambda v: cyc(v, smg.f_int, cp, lp)[0], smg.v_int) * 1e3, 3)
-        st = collective_stats(lambda v, f: cyc(v, f, cp, lp),
-                              smg.v_int, smg.f_int)
-        mg_row["halo_bytes"] = st["total_bytes"]
-        mg_row["ppermutes"] = st.get("ppermute", {}).get("count", 0)
+        g = None
+        rhs = None
+        for mode, sm, tag in (("deep", "rbgs", "deep"),
+                              ("sweep", "rbgs", "sweep"),
+                              ("deep", "chebyshev", "cheb")):
+            smg = ShardedMG(NX_STRONG, NX_STRONG, mesh, alpha=0.0,
+                            beta=-1.0, comm_mode=mode, smoother=sm)
+            if g is None:
+                g = smg.soln_grid
+                rhs = jnp.sin(2 * jnp.pi * jnp.asarray(g.x2d)) * \
+                    jnp.sin(2 * jnp.pi * jnp.asarray(g.y2d))
+            smg.init_zeros()
+            smg.init_RHS(rhs)
+            cyc = smg._build_cycle()
+            cp, lp = smg._coarse_params(), smg._local_params()
+            st = collective_stats(lambda v, f: cyc(v, f, cp, lp),
+                                  smg.v_int, smg.f_int)
+            mg_row[f"halo_bytes_{tag}"] = st["total_bytes"]
+            mg_row[f"ppermutes_{tag}"] = \
+                st.get("ppermute", {}).get("count", 0)
+            if tag == "deep":
+                # wall time (oversubscription-polluted; the collective
+                # counts above are the exact scaling signal)
+                mg_row["t_vcycle_strong_ms"] = round(_time_step(
+                    lambda v: cyc(v, smg.f_int, cp, lp)[0],
+                    smg.v_int) * 1e3, 3)
+            if tag in ("deep", "cheb"):
+                smg.solve(rtol=1e-10)
+                mg_row[f"cycles_{tag}"] = smg.num_cycles
         res["mg"].append(mg_row)
         print(json.dumps({"measured_mg": mg_row}), flush=True)
 
@@ -178,12 +193,12 @@ def main():
                          "comm-time bound scales linearly in 1/this")
     ap.add_argument("--measure", action="store_true",
                     help="measured wall-clock scaling table -> "
-                         "BENCH_scaling_r03.json")
+                         "BENCH_scaling_r04.json")
     args = ap.parse_args()
     nx = args.nx
     if args.measure:
         return measure(os.path.join(os.path.dirname(
-            os.path.realpath(__file__)), "BENCH_scaling_r03.json"))
+            os.path.realpath(__file__)), "BENCH_scaling_r04.json"))
 
     mesh = make_mesh(8)
     rp = _rp(nx, nx)

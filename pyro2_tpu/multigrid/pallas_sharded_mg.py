@@ -144,7 +144,9 @@ def build_deep_smooth_kernel(*, bx, by, dpx, dpy, d, n_sweeps, dx, dy,
             v = refresh(half(v, elig(lim - 1) & ~red))
             return v
 
-        v = jax.lax.fori_loop(0, n_sweeps, sweep, v_ref[...])
+        # entry refresh: the caller exchanges seam halos only (phys=False);
+        # physical ghosts are filled here, where they are cheap
+        v = jax.lax.fori_loop(0, n_sweeps, sweep, refresh(v_ref[...]))
         out_refs[0][...] = v
 
         if emit != "v":
@@ -194,6 +196,55 @@ def build_deep_smooth_kernel(*, bx, by, dpx, dpy, d, n_sweeps, dx, dy,
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)
                    for _ in out_shape],
         out_shape=out_shape,
+        compiler_params=_COMPILER_PARAMS,
+        interpret=interpret)
+
+
+def build_correct_kernel(*, bx, by, dtype, interpret=False):
+    """v + prolong(vc) on the interior: the coarse-grid correction as
+    iota-built MXU matmuls (pallas_mg's _prolong_mm on local ng=1
+    frames).  The jnp prolong_array's strided interleave lowers to
+    ~1.3 ms of scatter traffic at 512^2 on TPU -- this kernel replaces
+    it at matmul speed.  fn(v_std, vc_std) -> corrected v_std."""
+    qx_, qy_ = bx + 2, by + 2
+    qcx, qcy = bx // 2 + 2, by // 2 + 2
+
+    def kernel(v_ref, vc_ref, out_ref):
+        vc = vc_ref[...]
+
+        def emat(qf, qc):
+            ri = jax.lax.broadcasted_iota(jnp.int32, (qf, qc), 0)
+            ci = jax.lax.broadcasted_iota(jnp.int32, (qf, qc), 1)
+            ok = (ci >= 1) & (ci <= qc - 2)
+            lo = (ri == 2 * ci - 1) & ok
+            hi = (ri == 2 * ci) & ok
+            E = jnp.where(lo | hi, 1.0, 0.0).astype(dtype)
+            S = jnp.where(lo, -0.25,
+                          jnp.where(hi, 0.25, 0.0)).astype(dtype)
+            return E, S
+
+        Ex, Sx = emat(qx_, qcx)
+        Ey, Sy = emat(qy_, qcy)
+        mx = 0.5 * (jnp.roll(vc, -1, 0) - jnp.roll(vc, 1, 0))
+        my = 0.5 * (jnp.roll(vc, -1, 1) - jnp.roll(vc, 1, 1))
+        e = (jnp.matmul(Ex, jnp.matmul(vc, Ey.T, precision=_HI),
+                        precision=_HI) +
+             jnp.matmul(Sx, jnp.matmul(mx, Ey.T, precision=_HI),
+                        precision=_HI) +
+             jnp.matmul(Ex, jnp.matmul(my, Sy.T, precision=_HI),
+                        precision=_HI))
+        xi, yi = _frame_iotas(qx_, qy_)
+        interior = ((xi >= 1) & (xi <= qx_ - 2) &
+                    (yi >= 1) & (yi <= qy_ - 2))
+        v = v_ref[...]
+        out_ref[...] = jnp.where(interior, v + e, v)
+
+    vma = frozenset({"x", "y"})
+    return pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((qx_, qy_), dtype, vma=vma)],
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret)
 

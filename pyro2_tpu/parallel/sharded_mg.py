@@ -700,8 +700,10 @@ class ShardedMG:
         v_int = v_std[1:-1, 1:-1]
         extra = None
         for i, n_r in enumerate(sweeps):
+            # seam halos only -- the kernel's entry refresh fills the
+            # physical ghosts in-VMEM
             vd = deep_pad_exchange(v_int, self.bc, self.px, self.py,
-                                   dpx, dpy)
+                                   dpx, dpy, phys=False)
             emit = emit_last if i == len(sweeps) - 1 else "v"
             outs = self._smooth_kernel(k, n_r, emit, dtype)(
                 flags, ab, vd, f_deep)
@@ -709,6 +711,10 @@ class ShardedMG:
                 vd, = outs
             else:
                 vd, extra = outs
+                if emit == "v_r":
+                    # full-frame residual (zero outside interior) ->
+                    # owned interior block
+                    extra = extra[dpx:dpx + bx, dpy:dpy + by]
             v_int = vd[dpx:dpx + bx, dpy:dpy + by]
         return vd[dpx - 1:dpx + bx + 1, dpy - 1:dpy + by + 1], extra
 
@@ -750,9 +756,12 @@ class ShardedMG:
         return jax.lax.dynamic_slice(
             v_glob, (ix * bx, iy * by), (bx + 2 * ng, by + 2 * ng))
 
-    def _sharded_v_cycle(self, k, v, f, coarse_params, local_params):
+    def _sharded_v_cycle(self, k, v, f, coarse_params, local_params,
+                         want_top_r=False):
         """V-cycle over the block-partitioned levels; unrolls at trace time
-        (mirrors CellCenterMG2d._v_cycle)."""
+        (mirrors CellCenterMG2d._v_cycle).  want_top_r (kernel mode):
+        additionally return the post-smooth residual, fused into the
+        final kernel."""
         ops = self._ops
         lg = self.local_grids[k]
         lp = self._level_params(coarse_params, local_params)
@@ -782,14 +791,35 @@ class ShardedMG:
         else:
             v_c = self._replicated_coarse(k - 1, f_c, coarse_params)
 
-        e = prolong_array(v_c, lg_c, lg)
-        from pyro2_tpu.mesh.indexer import ai
-        v = v.at[lg.ilo:lg.ihi + 1, lg.jlo:lg.jhi + 1].add(ai(e, lg).v())
+        if geom is not None and self.use_pallas:
+            # prolong+correct fused on the MXU (the jnp prolong's
+            # strided interleave costs more than the whole rest of the
+            # cycle on TPU)
+            from pyro2_tpu.multigrid.pallas_sharded_mg import \
+                build_correct_kernel
+            cache = getattr(self, "_psk_cache", None)
+            if cache is None:
+                cache = self._psk_cache = {}
+            ckey = ("correct", k, v.dtype.name)
+            ck = cache.get(ckey)
+            if ck is None:
+                ck = build_correct_kernel(
+                    bx=lg.nx, by=lg.ny, dtype=v.dtype,
+                    interpret=self._pallas_interpret())
+                cache[ckey] = ck
+            v, = ck(v, v_c)
+        else:
+            e = prolong_array(v_c, lg_c, lg)
+            from pyro2_tpu.mesh.indexer import ai
+            v = v.at[lg.ilo:lg.ihi + 1,
+                     lg.jlo:lg.jhi + 1].add(ai(e, lg).v())
         if geom is not None:
             # the deep smoother re-exchanges v itself; no ghost fill needed
             if self.use_pallas:
-                return self._deep_smooth_pallas(k, v, f_deep, geom,
-                                                coarse_params)[0]
+                v, r = self._deep_smooth_pallas(
+                    k, v, f_deep, geom, coarse_params,
+                    emit_last="v_r" if want_top_r else "v")
+                return (v, r) if want_top_r else v
             return self._deep_smooth(k, v, f_deep, geom, coarse_params,
                                      local_params)
         v = ops._fill_v(k, v)
@@ -801,10 +831,17 @@ class ShardedMG:
         top = self.nlevels - 1
         g = self.soln_grid
         ng = self.ng
-        v = self._sharded_v_cycle(top, v, f, coarse_params, local_params)
-        r = self._ops._residual(
-            top, v, f, self._level_params(coarse_params, local_params))
-        r_int = r[ng:-ng, ng:-ng]
+        pallas_top = self.use_pallas and self._deep_geom.get(top) is not None
+        if pallas_top:
+            # the final UP kernel fuses the top-level residual
+            v, r_int = self._sharded_v_cycle(top, v, f, coarse_params,
+                                             local_params, want_top_r=True)
+        else:
+            v = self._sharded_v_cycle(top, v, f, coarse_params,
+                                      local_params)
+            r = self._ops._residual(
+                top, v, f, self._level_params(coarse_params, local_params))
+            r_int = r[ng:-ng, ng:-ng]
         ss = jax.lax.psum(jax.lax.psum(jnp.sum(r_int ** 2), "x"), "y")
         rnorm = jnp.sqrt(g.dx * g.dy * ss)
         return v, r_int, rnorm
