@@ -61,3 +61,25 @@ def test_spherical_mesh(tmp_path, capsys):
 def test_face_centered(capsys):
     _run("07_face_centered.py")
     assert "07_face_centered: ok" in capsys.readouterr().out
+
+
+def test_docs_site_builds(tmp_path, monkeypatch):
+    """The static docs site builder must produce the guide pages and the
+    notebook gallery (the reference ships a sphinx site; this env builds
+    with stdlib markdown + nbconvert)."""
+    import importlib.util
+    import os
+    spec = importlib.util.spec_from_file_location(
+        "build_site", os.path.join(os.path.dirname(__file__), "..",
+                                   "docs", "build_site.py"))
+    mod = importlib.util.module_from_spec(spec)
+    monkeypatch.setattr(mod, "__name__", "build_site", raising=False)
+    spec.loader.exec_module(mod)
+    monkeypatch.setattr(mod, "OUT", str(tmp_path))
+    mod.main()
+    built = os.listdir(tmp_path)
+    for want in ("index.html", "design.html", "survey.html",
+                 "notebooks.html"):
+        assert want in built, built
+    idx = open(os.path.join(tmp_path, "index.html")).read()
+    assert "pyro2_tpu" in idx and "<table>" in idx
