@@ -23,3 +23,37 @@ import jax  # noqa: E402
 if not _on_device:
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
+
+# the suite is compile-dominated (2-vCPU host): persist compiled
+# executables across runs so repeated suite invocations skip most of it
+try:
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/jax-tests"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+except Exception:
+    pass
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="run tests marked slow (the expensive compile-heavy tier)")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: expensive compile-heavy test; skipped unless "
+                   "--runslow or PYRO2_RUN_SLOW=1")
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest
+    if config.getoption("--runslow") or \
+            os.environ.get("PYRO2_RUN_SLOW", "0") == "1":
+        return
+    skip = pytest.mark.skip(reason="slow tier: pass --runslow (or "
+                                   "PYRO2_RUN_SLOW=1) to run")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

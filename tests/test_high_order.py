@@ -100,6 +100,7 @@ class TestCompressibleFV4Richardson:
     Table 2).  Run at 32/64/128^2 (fix_dt = 0.192*dx as the reference's
     inputs do) and require the density L2 rate to approach 4."""
 
+    @pytest.mark.slow
     def test_acoustic_pulse_richardson_rate(self):
         from pyro2_tpu.analysis.convergence import compare
 

@@ -256,6 +256,7 @@ class TestFusedPallasCycle:
         assert np.max(np.abs(vf - vj)) < 1e-13 * max(1, np.abs(vj).max())
         assert abs(nf - nj) < 1e-12 * max(1.0, nj)
 
+    @pytest.mark.slow
     @pytest.mark.parametrize("bct", [
         ["dirichlet", "dirichlet", "dirichlet", "dirichlet"],
         # lane (y) periodic is allowed at banded levels; only ROW

@@ -22,7 +22,9 @@ NAMES = sorted(n for n in os.listdir(EXAMPLES)
 REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
 
 
-@pytest.mark.parametrize("name", NAMES)
+@pytest.mark.parametrize("name", [
+    n if n.startswith("01") else pytest.param(n, marks=pytest.mark.slow)
+    for n in NAMES])
 def test_notebook_executes(name, tmp_path):
     import nbformat
     from nbclient import NotebookClient

@@ -152,6 +152,7 @@ class TestPartitionInvariance:
 
 
 class TestGraftEntry:
+    @pytest.mark.slow
     def test_entry_and_dryrun(self):
         import importlib
         ge = importlib.import_module("__graft_entry__")
@@ -308,9 +309,10 @@ class TestShardedMOL:
             rp.set_param(k, v, no_new=False)
         return rp
 
-    @pytest.mark.parametrize("solver", ["compressible_rk",
-                                        "compressible_fv4",
-                                        "compressible_sdc"])
+    @pytest.mark.parametrize("solver", [
+        "compressible_rk",
+        pytest.param("compressible_fv4", marks=pytest.mark.slow),
+        pytest.param("compressible_sdc", marks=pytest.mark.slow)])
     def test_matches_serial(self, solver):
         from pyro2_tpu.parallel import sharded_mol
         cls = {"compressible_rk": sharded_mol.ShardedCompressibleRK,
@@ -1031,9 +1033,11 @@ class TestOverlap:
         Uo = so.step(so.step(U, 0.0, dt), dt, dt)
         np.testing.assert_array_equal(np.asarray(Uo), np.asarray(Up))
 
+    @pytest.mark.slow
     def test_overlapped_bitwise_periodic(self):
         self._steps("periodic")
 
+    @pytest.mark.slow
     def test_overlapped_bitwise_reflect(self):
         # reflect exercises the block-gated solid clamps AND the avisc
         # global-window masking inside the band programs
@@ -1099,6 +1103,7 @@ class TestShardedLMAtm:
             s.evolve()
         return s
 
+    @pytest.mark.slow
     def test_partition_invariance(self):
         s1 = self._run(1)
         s8 = self._run(8)
@@ -1168,6 +1173,7 @@ class TestShardedIncompressibleViscous:
             s.evolve()
         return s
 
+    @pytest.mark.slow
     def test_partition_invariance_bitwise(self):
         s1 = self._run(1)
         s8 = self._run(8)
