@@ -235,6 +235,30 @@ def main():
           "all_gathers": st_mg.get("all_gather", {}).get("count", 0),
           "grid": f"{nx}^2 on 2x4 mesh"})
 
+    # north-star estimate: WEAK-scaled MG efficiency on real ICI, from
+    # the measured on-chip fused-cycle time (BENCH r04: 0.30 ms/cycle at
+    # 512^2/device) + this run's exact per-cycle collective counts +
+    # assumed ICI per-hop latency/bandwidth.  eff = t_cycle /
+    # (t_cycle + t_comm); the deep-halo redundant compute is already in
+    # t_cycle (the 1-dev kernel runs the same 2n+1-deep masks).
+    T_CYCLE_MS = 0.30
+    lat_us = 1.0
+    pp = st_mg["ppermute"]["count"]
+    byts = st_mg["ppermute"]["bytes"]
+    t_comm_ms = pp * lat_us * 1e-3 + byts / (args.ici_gbps * 1e9) * 1e3
+    eff = T_CYCLE_MS / (T_CYCLE_MS + t_comm_ms)
+    emit("modeled weak-scaling MG efficiency on ICI (8 devices)",
+         round(eff, 4), "fraction",
+         {"t_cycle_ms_hw": T_CYCLE_MS, "t_comm_bound_ms":
+          round(t_comm_ms, 4), "ppermutes": pp,
+          "ici_hop_latency_us_assumed": lat_us,
+          "ici_gbps_assumed": args.ici_gbps,
+          "note": "deep-halo smoothing: collectives measured on the "
+                  "traced program; cycle time measured on v5e at "
+                  "512^2/device; the r03 sweep schedule's 1032 "
+                  "ppermutes would put eff at "
+                  f"{round(T_CYCLE_MS / (T_CYCLE_MS + 1032 * 1e-3), 3)}"})
+
     # modeled scaling efficiency: measure the single-chip-equivalent step
     # wall time on this host, bound comm time by halo bytes / ICI bw, and
     # charge the rim recompute
