@@ -33,9 +33,18 @@ is replaced by a block-gated fill with NO exchange: source fields are
 pointwise functions of the halo-exchanged state, so their seam ghosts are
 already bitwise-correct and only domain-edge fills apply.
 
+Spherical geometry is supported (r04): the SPMD program is one trace
+but geometry factor arrays differ per block, so the global f64 planes
+(incl. the avisc trig planes) are precomputed once and traced per-block
+windows are dynamic-sliced into the local grid before each trace
+(_gate_geometry, the same holder-mutation mechanism as the solid
+flags); blockwise init builds SphericalPolar block grids with
+bitwise-global coordinates (parallel/blocks.py).
+
 Limitations: a grid must divide evenly over the mesh; problems with
 `source_terms` (global-coordinate heating) are rejected; extended BCs are
-not yet supported by the overlapped (halo-hiding) step variant.
+not yet supported by the overlapped (halo-hiding) step variant, nor is
+spherical geometry by overlap/extended BCs.
 """
 
 import importlib
@@ -166,6 +175,21 @@ class ShardedSim:
             self.local_sim.aux_data.fill_bc_stack = \
                 self._make_gated_stack_fill(self.local_sim.aux_data)
 
+        # spherical geometry: the SPMD program is one trace, but the
+        # geometry factor arrays differ per block -- precompute the
+        # GLOBAL f64 planes once and dynamic-slice traced per-block
+        # windows into the local grid before each trace (_gate_geometry,
+        # the same holder-mutation mechanism as the solid flags)
+        self._spherical = getattr(self.local_grid, "coord_type", 0) == 1
+        if self._spherical:
+            if overlap:
+                raise ValueError("overlap is not supported with "
+                                 "spherical geometry")
+            if ext_used:
+                raise ValueError("extended BCs are not supported with "
+                                 "spherical geometry in the sharded path")
+            self._setup_spherical_planes()
+
         if overlap:
             # core-compute ∥ halo-exchange pipelining (parallel/overlap.py):
             # bitwise-identical results, collectives off the critical path
@@ -175,6 +199,53 @@ class ShardedSim:
             self._step = self._build()
         self._dt_fn = self._build_dt()
         self._global_sim = None
+
+    def _setup_spherical_planes(self):
+        """Global spherical geometry planes (np f64, exactly the serial
+        grid's) for traced per-block windows."""
+        import numpy as np
+
+        from pyro2_tpu.mesh.grid import SphericalPolar
+        rp = self.rp
+        gg = SphericalPolar(self.nx, self.ny, ng=self.ng,
+                            xmin=rp.get_param("mesh.xmin"),
+                            xmax=rp.get_param("mesh.xmax"),
+                            ymin=rp.get_param("mesh.ymin"),
+                            ymax=rp.get_param("mesh.ymax"))
+        planes = {n: np.asarray(getattr(gg, n))
+                  for n in ("Lx", "Ly", "Ax", "Ay", "dlogAx", "dlogAy",
+                            "V", "x2d")}
+        qx, qy = gg.qx, gg.qy
+
+        def rows(v):
+            return np.broadcast_to(np.asarray(v)[:, None], (qx, qy))
+
+        def lanes(v):
+            return np.broadcast_to(np.asarray(v)[None, :], (qx, qy))
+
+        # the artificial-viscosity trig planes (interface.py geom_plane)
+        planes.update({
+            "_plane_rc": rows(gg.xl), "_plane_rr": rows(gg.x),
+            "_plane_rl": rows(gg.x - gg.dx),
+            "_plane_sinc": lanes(np.sin(gg.yl)),
+            "_plane_sint": lanes(np.sin(gg.y)),
+            "_plane_sinb": lanes(np.sin(gg.y - gg.dy)),
+        })
+        self._geo_planes = {k: jnp.asarray(v) for k, v in planes.items()}
+
+    def _gate_geometry(self):
+        """Point the local grid's geometry arrays at this block's traced
+        windows of the global planes (inside the shard_map body, before
+        the local step traces)."""
+        if not self._spherical:
+            return
+        ix = jax.lax.axis_index("x")
+        iy = jax.lax.axis_index("y")
+        g = self.local_grid
+        start = (ix * g.nx, iy * g.ny)
+        for name, plane in self._geo_planes.items():
+            win = jax.lax.dynamic_slice(plane, start, (g.qx, g.qy))
+            setattr(g, name, win)
 
     def _gate_solid(self):
         """Point the traced-solid holder at block-gated flags (called
@@ -311,6 +382,7 @@ class ShardedSim:
             pad[-1] = (ng, ng)
             U = self._fill_local(jnp.pad(U_int, pad), t)
             self._gate_solid()
+            self._gate_geometry()
             U = local_step(U, t, dt)
             return U[..., ng:-ng, ng:-ng]
 
@@ -347,6 +419,7 @@ class ShardedSim:
             pad[-1] = (ng, ng)
             U = self._fill_local(jnp.pad(U_int, pad), t)
             self._gate_solid()
+            self._gate_geometry()
             U = local_step(U, t, dt)
             u2d, v2d = vel(U)
             pos, active = adv(pos, active, u2d, v2d, dt)
@@ -367,6 +440,7 @@ class ShardedSim:
             pad[-2] = (ng, ng)
             pad[-1] = (ng, ng)
             U = self._fill_local(jnp.pad(U_int, pad))
+            self._gate_geometry()
             d = local_dt(U)
             return jax.lax.pmin(jax.lax.pmin(d, "x"), "y")
 

@@ -166,27 +166,72 @@ def artificial_viscosity(g, cvisc, u, v, edges=None):
 
     import numpy as np
 
+    spherical = getattr(g, "coord_type", 0) != 0
+    qxn, qyn = g.qx, g.qy
+
+    def rows(vec):
+        return np.broadcast_to(np.asarray(vec)[:, None], (qxn, qyn))
+
+    def lanes(vec):
+        return np.broadcast_to(np.asarray(vec)[None, :], (qxn, qyn))
+
+    def geom_plane(name, build, buf):
+        # precomputed traced per-band/per-block windows when the grid
+        # proxy carries _plane_* (fused kernel / sharded path); else the
+        # host f64 broadcast of the coordinate line
+        p = getattr(g, "_plane_" + name, None)
+        if p is None:
+            p = build()
+        return _win(jnp.asarray(p), g, buf=buf)
+
+    def sph_divergence(buf):
+        """Vertex div(U) in spherical geometry on a buf window."""
+        rc = geom_plane("rc", lambda: rows(g.xl), buf)       # node r i-1/2
+        rr = geom_plane("rr", lambda: rows(g.x), buf)        # center r, i
+        rl = geom_plane("rl", lambda: rows(g.x - g.dx), buf)  # r, i-1
+        sinc = geom_plane("sinc", lambda: lanes(np.sin(g.yl)), buf)
+        sint = geom_plane("sint", lambda: lanes(np.sin(g.y)), buf)
+        sinb = geom_plane("sinb", lambda: lanes(np.sin(g.y - g.dy)), buf)
+
+        ur = 0.5 * (uv.v(buf=buf) + uv.jp(-1, buf=buf))
+        ul = 0.5 * (uv.ip(-1, buf=buf) + uv.ip_jp(-1, -1, buf=buf))
+        ux = (ur * rr ** 2 - ul * rl ** 2) / (rc ** 2 * g.dx)
+
+        vt = 0.5 * (vv.v(buf=buf) + vv.ip(-1, buf=buf))
+        vb = 0.5 * (vv.jp(-1, buf=buf) + vv.ip_jp(-1, -1, buf=buf))
+        vy_raw = (sint * vt - sinb * vb) / (rc * jnp.where(
+            sinc == 0.0, 1.0, sinc) * g.dy)
+        vy = jnp.where(sinc == 0.0, 0.0, vy_raw)
+        return ux + vy
+
     static_edges = edges is None or all(
         isinstance(e, (int, np.integer)) and e == 1 for e in edges)
     if not static_edges:
-        if getattr(g, "coord_type", 0) != 0:
-            raise NotImplementedError(
-                "block-gated avisc masking is Cartesian-only")
         from pyro2_tpu.mesh.indexer import embed
         # vertex divergence on the widest window the application
         # (unsplit_fluxes buf=(2,1)) plus face averaging can reach;
         # needs u,v at buf=3 which ng>=4 supplies
         bw = 2
-        ur = 0.5 * (uv.v(buf=bw) + uv.jp(-1, buf=bw))
-        ul = 0.5 * (uv.ip(-1, buf=bw) + uv.ip_jp(-1, -1, buf=bw))
-        vt = 0.5 * (vv.v(buf=bw) + vv.ip(-1, buf=bw))
-        vb = 0.5 * (vv.jp(-1, buf=bw) + vv.ip_jp(-1, -1, buf=bw))
-        dv = ai(embed((ur - ul) / g.dx + (vt - vb) / g.dy, g, bw), g)
+        if spherical:
+            dv_w = sph_divergence(bw)
+        else:
+            ur = 0.5 * (uv.v(buf=bw) + uv.jp(-1, buf=bw))
+            ul = 0.5 * (uv.ip(-1, buf=bw) + uv.ip_jp(-1, -1, buf=bw))
+            vt = 0.5 * (vv.v(buf=bw) + vv.ip(-1, buf=bw))
+            vb = 0.5 * (vv.jp(-1, buf=bw) + vv.ip_jp(-1, -1, buf=bw))
+            dv_w = (ur - ul) / g.dx + (vt - vb) / g.dy
+        dv = ai(embed(dv_w, g, bw), g)
         ba = (2, 1)
         divU_x = 0.5 * (dv.v(buf=ba) + dv.jp(1, buf=ba))
         divU_y = 0.5 * (dv.v(buf=ba) + dv.ip(1, buf=ba))
-        av_x = cvisc * jnp.maximum(-divU_x * jnp.asarray(g.dx), 0.0)
-        av_y = cvisc * jnp.maximum(-divU_y * jnp.asarray(g.dy), 0.0)
+        if spherical:
+            Lx_w = _win(jnp.asarray(g.Lx), g, ba)
+            Ly_w = _win(jnp.asarray(g.Ly), g, ba)
+        else:
+            Lx_w = jnp.asarray(g.dx)
+            Ly_w = jnp.asarray(g.dy)
+        av_x = cvisc * jnp.maximum(-divU_x * Lx_w, 0.0)
+        av_y = cvisc * jnp.maximum(-divU_y * Ly_w, 0.0)
         avx = embed(av_x, g, ba)
         avy = embed(av_y, g, ba)
         # zero outside the GLOBAL interior window: a side is clipped
@@ -207,44 +252,12 @@ def artificial_viscosity(g, cvisc, u, v, edges=None):
         vb = 0.5 * (vv.jp(-1, buf=b) + vv.ip_jp(-1, -1, buf=b))
         divU_w = (ur - ul) / g.dx + (vt - vb) / g.dy
     else:
+        # spherical vertex divergence from the (qx, qy) trig planes --
+        # identical values to slicing the 1-D coordinate lines; the
+        # plane form also serves the fused kernel and the sharded path,
+        # whose grid proxies carry traced _plane_* windows
         b = 1
-        # node-centered r and theta trig factors as (qx, qy) planes
-        # windowed through _win: identical values to slicing the 1-D
-        # coordinate lines (they are broadcasts of them), but the plane
-        # form also serves the fused kernel, whose band grid proxy
-        # precomputes them globally (host f64 -> working dtype) and hands
-        # traced band slices via _plane_* attributes
-        def geom_plane(name, build):
-            p = getattr(g, "_plane_" + name, None)
-            if p is None:
-                p = build()
-            return _win(jnp.asarray(p), g, buf=b)
-
-        qxn, qyn = g.qx, g.qy
-
-        def rows(vec):
-            return np.broadcast_to(np.asarray(vec)[:, None], (qxn, qyn))
-
-        def lanes(vec):
-            return np.broadcast_to(np.asarray(vec)[None, :], (qxn, qyn))
-
-        rc = geom_plane("rc", lambda: rows(g.xl))          # node r i-1/2
-        rr = geom_plane("rr", lambda: rows(g.x))           # center r, i
-        rl = geom_plane("rl", lambda: rows(g.x - g.dx))    # center r, i-1
-        sinc = geom_plane("sinc", lambda: lanes(np.sin(g.yl)))
-        sint = geom_plane("sint", lambda: lanes(np.sin(g.y)))
-        sinb = geom_plane("sinb", lambda: lanes(np.sin(g.y - g.dy)))
-
-        ur = 0.5 * (uv.v(buf=b) + uv.jp(-1, buf=b))
-        ul = 0.5 * (uv.ip(-1, buf=b) + uv.ip_jp(-1, -1, buf=b))
-        ux = (ur * rr ** 2 - ul * rl ** 2) / (rc ** 2 * g.dx)
-
-        vt = 0.5 * (vv.v(buf=b) + vv.ip(-1, buf=b))
-        vb = 0.5 * (vv.jp(-1, buf=b) + vv.ip_jp(-1, -1, buf=b))
-        vy_raw = (sint * vt - sinb * vb) / (rc * jnp.where(sinc == 0.0,
-                                                           1.0, sinc) * g.dy)
-        vy = jnp.where(sinc == 0.0, 0.0, vy_raw)
-        divU_w = ux + vy
+        divU_w = sph_divergence(b)
 
     from pyro2_tpu.mesh.indexer import embed
     divU = embed(divU_w, g, b)

@@ -250,6 +250,63 @@ class TestShardedMG:
         assert err < 3.0e-5, err
 
 
+class TestShardedSpherical:
+    """Spherical-geometry SPMD stepping (VERDICT r03 missing item 5,
+    second half): per-block geometry-plane windows (dynamic slices of
+    the global f64 planes, the _gate_solid mechanism) must make the
+    sharded spherical step bitwise the serial one."""
+
+    def _rp(self, nx, ny):
+        rp = RuntimeParameters()
+        rp.load_params("pyro2_tpu/_defaults")
+        rp.load_params("pyro2_tpu/solvers/compressible/_defaults")
+        for k, v in {"mesh.nx": nx, "mesh.ny": ny,
+                     "mesh.grid_type": "SphericalPolar",
+                     "mesh.xmin": 0.5, "mesh.xmax": 1.0,
+                     "mesh.ymin": 0.7853981633974483,
+                     "mesh.ymax": 2.356194490192345,
+                     "mesh.xlboundary": "outflow",
+                     "mesh.xrboundary": "outflow",
+                     "mesh.ylboundary": "outflow",
+                     "mesh.yrboundary": "outflow",
+                     "compressible.riemann": "CGF",
+                     "driver.verbose": 0, "vis.dovis": 0,
+                     "io.do_io": 0}.items():
+            rp.set_param(k, v, no_new=False)
+        return rp
+
+    def test_spherical_sharded_bitwise(self):
+        mesh = make_mesh(8)
+        sc = ShardedCompressible(self._rp(32, 32), mesh, problem="advect")
+        assert sc._spherical
+
+        U = sc.global_interior()
+        dt = 1e-3
+        U1 = sc.step(U, 0.0, dt)
+        U2 = sc.step(U1, dt, dt)
+
+        gs = sc.global_sim
+        gs.dt = dt
+        for _ in range(2):
+            gs.cc_data.fill_BC_all()
+            gs.evolve()
+        gg = gs.cc_data.grid
+        U_ref = gs.cc_data.data[:, gg.ilo:gg.ihi + 1, gg.jlo:gg.jhi + 1]
+        np.testing.assert_array_equal(np.asarray(U2), np.asarray(U_ref))
+
+        # pmin CFL dt matches the serial rule
+        gs.cc_data.fill_BC_all()
+        gs.method_compute_timestep()
+        assert abs(sc.compute_dt(U2) - gs.dt) < 1e-14 * gs.dt
+
+    def test_blockwise_init_matches_global(self):
+        mesh = make_mesh(8)
+        sc = ShardedCompressible(self._rp(32, 32), mesh, problem="advect")
+        U_blocks = np.asarray(sc.init_interior())
+        U_global = np.asarray(sc.global_interior())
+        np.testing.assert_array_equal(U_blocks, U_global)
+
+
 class TestShardedParticles:
     """Multi-chip tracer particles (parallel/sharded_particles.py):
     replicated positions + owner-gathered velocity interpolation + psum
