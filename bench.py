@@ -494,6 +494,48 @@ def bench_gravity_fused():
     # same-size periodic comparator: the plain fused kernel at 512^2
     from pyro2_tpu.solvers.compressible.pallas_step import \
         make_pallas_ctu_step_padded
+    # spherical-geometry fused kernel at the same size (geometry planes
+    # DMA'd per band; VERDICT r04 item 8's bench number)
+    sph_zups = None
+    try:
+        p2 = Pyro("compressible")
+        p2.initialize_problem("advect", inputs_dict={
+            "mesh.nx": nx, "mesh.ny": ny,
+            "mesh.grid_type": "SphericalPolar",
+            "mesh.xmin": 0.5, "mesh.xmax": 1.0,
+            "mesh.ymin": 0.7853981633974483,
+            "mesh.ymax": 2.356194490192345,
+            "mesh.xlboundary": "outflow", "mesh.xrboundary": "outflow",
+            "mesh.ylboundary": "outflow", "mesh.yrboundary": "outflow",
+            "compressible.riemann": "CGF",
+            "driver.verbose": 0, "vis.dovis": 0, "io.do_io": 0,
+            "particles.do_particles": 0})
+        ssim = p2.sim
+        to_s, _, fill_s, step_s = \
+            make_pallas_ctu_step_padded_general(ssim)
+        ssim.cc_data.fill_BC_all()
+        ssim.method_compute_timestep()
+        dts = jnp.asarray(ssim.dt, jnp.float32)
+
+        def make_sph(nlen):
+            def many(P, dt):
+                def body(carry, _):
+                    P, t = carry
+                    P = step_s(fill_s(P, t), t, dt)
+                    return (P, t + dt), None
+                (P, _), _ = jax.lax.scan(
+                    body, (P, jnp.asarray(0.0, jnp.float32)), None,
+                    length=nlen)
+                return P
+            return jax.jit(many)
+
+        Ps = to_s(ssim.cc_data.data.astype(jnp.float32))
+        per_s, _, _ = _time_slope(make_sph, 12, nsteps, Ps, dts)
+        sph_zups = nx * ny / per_s
+        _log(f"spherical fused: {sph_zups:.3e} zones/s")
+    except Exception as e:
+        _log(f"spherical fused bench failed: {type(e).__name__}: {e}")
+
     per_p = None
     try:
         sim2, rp512 = _make_sim(512)
@@ -508,6 +550,7 @@ def bench_gravity_fused():
         _log(f"periodic-512 comparator failed: {e}")
     return {"fused_gravity_rt_zups_512": zups,
             "fused_gravity_engaged": True,
+            "spherical_fused_zups_512": sph_zups,
             "rt_fill_ms_per_step": fill_per * 1e3,
             "rt_step_ms": per * 1e3,
             "periodic_fused_zups_512":
