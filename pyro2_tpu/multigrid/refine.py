@@ -27,7 +27,7 @@ import jax.numpy as jnp
 
 from pyro2_tpu.mesh.indexer import ai, fill_ghost
 
-__all__ = ["two_sum", "two_prod", "solve_ir"]
+__all__ = ["two_sum", "two_prod", "solve_ir", "solve_ir_sharded"]
 
 _SPLIT = 4097.0  # 2^12 + 1 (Dekker split constant for f32's 24-bit mantissa)
 
@@ -178,4 +178,85 @@ def solve_ir(mg, rtol=1.e-10, max_iter=20, inner_rtol=1.e-5):
     mg.v_lo = xl
     mg.residual_error = res
     mg.num_cycles = n_ref
+    return res, n_ref
+
+
+def solve_ir_sharded(smg, rtol=1.e-10, max_iter=20, inner_rtol=1.e-5):
+    """Deep-tolerance solve on a ShardedMG via iterative refinement.
+
+    The multi-chip twin of solve_ir: the double-f32 solution pair lives
+    block-sharded; the compensated residual runs per block behind a halo
+    exchange (ghost fills are linear for the homogeneous standard BCs,
+    so filling hi and lo separately is exact -- seam ghosts are plain
+    copies), with psum'd norms; each correction solve reuses the sharded
+    (optionally fused-Pallas) V-cycle unchanged.  Overwrites smg.v_int;
+    returns (residual_error, num_refinements).
+    """
+    import jax
+
+    from jax.sharding import PartitionSpec as P
+    from pyro2_tpu.parallel.mesh_comm import halo_exchange
+
+    if not smg.initialized_rhs:
+        raise ValueError("RHS not initialized")
+    if type(smg).__name__ != "ShardedMG":
+        raise ValueError("sharded refinement supports the constant-"
+                         "coefficient ShardedMG")
+
+    g = smg.soln_grid
+    lg = smg.local_grids[smg.nlevels - 1]
+    f_int = smg.f_int
+    dt = f_int.dtype
+    alpha, beta = float(smg.serial.alpha), float(smg.serial.beta)
+    c_x = beta / g.dx ** 2
+    c_y = beta / g.dy ** 2
+    coeffs = (-alpha - 2.0 * c_x - 2.0 * c_y, c_x, c_y)
+    bc = smg.bc
+    px, py = smg.px, smg.py
+
+    def res_body(f_i, xh_i, xl_i):
+        xh = halo_exchange(jnp.pad(xh_i, 1), lg, bc, px, py)
+        xl = halo_exchange(jnp.pad(xl_i, 1), lg, bc, px, py)
+        f = jnp.pad(f_i, 1)
+        r = _residual_df32(lg, f, xh, xl, coeffs)
+        r_i = r[1:-1, 1:-1]
+        ss = jax.lax.psum(jax.lax.psum(jnp.sum(r_i ** 2), "x"), "y")
+        return r_i, jnp.sqrt(g.dx * g.dy * ss)
+
+    spec = P("x", "y")
+    refine_residual = jax.jit(jax.shard_map(
+        res_body, mesh=smg.mesh, in_specs=(spec, spec, spec),
+        out_specs=(spec, P()), check_vma=not smg.use_pallas))
+
+    @jax.jit
+    def accumulate(xh, xl, e):
+        s, err = two_sum(xh, e)
+        lo = xl + err
+        return two_sum(s, lo)
+
+    orig_source_norm = smg.source_norm
+    fnorm = smg.source_norm if smg.source_norm != 0.0 else 1.0
+    xh = jnp.zeros_like(f_int)
+    xl = jnp.zeros_like(f_int)
+
+    res = None
+    n_ref = 0
+    prev = float("inf")
+    for n_ref in range(1, max_iter + 1):
+        r, rnorm = refine_residual(f_int, xh, xl)
+        res = float(rnorm) / fnorm
+        if res < rtol or res > 0.7 * prev:
+            break
+        prev = res
+        smg.init_zeros()
+        smg.init_RHS(r)
+        smg.solve(rtol=inner_rtol)
+        xh, xl = accumulate(xh, xl, smg.v_int)
+
+    smg.f_int = f_int
+    smg.source_norm = orig_source_norm
+    smg.v_int = xh
+    smg.v_lo = xl
+    smg.residual_error = res
+    smg.num_cycles = n_ref
     return res, n_ref

@@ -559,6 +559,51 @@ class TestDeepHaloMG:
         assert np.max(np.abs(sols[0] - sols[1])) < 1e-12 * scale
 
 
+class TestShardedIterativeRefinement:
+    """Deep-tolerance f32 solves on the device mesh: solve_ir_sharded
+    (block-sharded double-f32 pair, per-block compensated residual
+    behind a halo exchange, psum'd norms) must push the f32 stall
+    >=1e4x deeper, like the serial solve_ir."""
+
+    def test_f32_deep_tolerance_sharded(self):
+        from pyro2_tpu.multigrid.refine import solve_ir_sharded
+        from pyro2_tpu.parallel.sharded_mg import ShardedMG
+
+        N = 128
+        mesh = make_mesh(shape=(2, 4))
+        smg = ShardedMG(N, N, mesh)
+        g = smg.soln_grid
+        x, y = np.asarray(g.x2d), np.asarray(g.y2d)
+        f = jnp.asarray(
+            -2.0 * ((1.0 - 6.0 * x ** 2) * y ** 2 * (1.0 - y ** 2) +
+                    (1.0 - 6.0 * y ** 2) * x ** 2 * (1.0 - x ** 2)),
+            jnp.float32)
+        smg.v_int = smg.v_int.astype(jnp.float32)
+        smg.init_zeros()
+        smg.init_RHS(f)
+        smg.solve(rtol=1e-10)
+        res_direct = smg.residual_error
+        assert res_direct > 1e-6      # the documented f32 stall
+
+        smg.init_zeros()
+        smg.init_RHS(f)
+        res, n_ref = solve_ir_sharded(smg, rtol=1e-10)
+        assert res < 1e-4 * res_direct, (res, res_direct)
+        assert res < 3e-9, res
+
+        # the refined sharded solution matches a serial f64 solve
+        from pyro2_tpu.multigrid import MG
+        mg64 = MG.CellCenterMG2d(N, N, verbose=0)
+        mg64.init_zeros()
+        mg64.init_RHS(jnp.asarray(f, jnp.float64))
+        mg64.solve(rtol=1e-11)
+        v_sh = (np.asarray(smg.v_int, np.float64) +
+                np.asarray(smg.v_lo, np.float64))
+        v64 = np.asarray(mg64.get_solution())[g.ilo:g.ihi + 1,
+                                              g.jlo:g.jhi + 1]
+        assert np.abs(v_sh - v64).max() < 1e-8
+
+
 class TestShardedVarCoeffMG:
     """Block-partitioned variable-coefficient MG: partition invariance vs
     the serial VarCoeffCCMG2d, plus the analytic vc-Poisson oracle
