@@ -239,6 +239,44 @@ class Simulation(NullSimulation):
         self._step = jax.jit(self._make_step())
         self._dt_fn = jax.jit(self._make_dt())
 
+        # on TPU, eligible configurations route evolve through the fused
+        # Pallas CTU kernel transparently (~3-5x over the jnp step; the
+        # jnp step stays the reference implementation and the fallback).
+        # Only for the CTU solver itself: subclasses (rk/fv4/sdc) drive
+        # their own stage loops and override _make_step
+        if (jax.default_backend() == "tpu" and
+                type(self)._make_step is Simulation._make_step):
+            try:
+                self._step = self._make_fused_step()
+            except Exception as e:
+                if self.verbose > 0:
+                    print(f"fused CTU kernel unavailable "
+                          f"({type(e).__name__}: {e}); using the jnp step")
+
+    def _make_fused_step(self):
+        """An evolve-contract step(U, t, dt) backed by the fused Pallas
+        row-band kernel: identical interior to the jnp step (bitwise,
+        tests/test_pallas_tpu.py), ghost zones carried through unchanged
+        (the jnp step's stale-ghost semantics, which particle advection
+        relies on)."""
+        from pyro2_tpu.solvers.compressible.pallas_step import \
+            make_pallas_ctu_step_padded_general
+        to_p, from_p, _fill_p, step_p = \
+            make_pallas_ctu_step_padded_general(self)
+        myg = self.cc_data.grid
+        ng = myg.ng
+        sl = (slice(None), slice(myg.ilo, myg.ihi + 1),
+              slice(myg.jlo, myg.jhi + 1))
+
+        @jax.jit
+        def step(U, t, dt):
+            P = step_p(to_p(U), jnp.asarray(t, jnp.float32),
+                       jnp.asarray(dt, jnp.float32))
+            U_new = from_p(P)[:, ng:-ng, ng:-ng]
+            return U.at[sl].set(U_new.astype(U.dtype))
+
+        return step
+
     # -- jitted kernels -----------------------------------------------------
     def _make_dt(self):
         myg = self.cc_data.grid
