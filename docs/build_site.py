@@ -13,7 +13,6 @@ executed notebook gallery.  Usage:
 import html
 import os
 import re
-import shutil
 import sys
 
 HERE = os.path.dirname(os.path.realpath(__file__))

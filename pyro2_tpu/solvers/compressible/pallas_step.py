@@ -9,12 +9,15 @@ single-block CTU pipeline on it entirely on-chip, and writes back only its
 T owned rows.  One HBM read + one write per cell per step instead of
 hundreds.
 
-Scope: Cartesian geometry, no gravity/problem sources, no sponge, no
-species -- the benchmark configuration.  The general jnp step remains the
-reference implementation; `validate()` checks the kernel against it.
+Two tiers: `make_pallas_ctu_step_padded` is the periodic benchmark
+configuration; `make_pallas_ctu_step_padded_general` covers gravity +
+predictor-corrector sources, sponge, density floors, solid walls,
+custom/extended BCs, passive species, and spherical geometry (factor
+planes DMA'd per band, see SPH_PLANES).  The jnp step remains the
+reference implementation and the fallback; tests/test_pallas_tpu.py
+checks the kernels against it bitwise on hardware.
 """
 
-import functools
 
 import jax
 import jax.numpy as jnp
