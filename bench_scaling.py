@@ -235,6 +235,23 @@ def main():
           "all_gathers": st_mg.get("all_gather", {}).get("count", 0),
           "grid": f"{nx}^2 on 2x4 mesh"})
 
+    # the method-of-lines tier: the simplest comm pattern (one exchange
+    # per RK stage)
+    try:
+        from pyro2_tpu.parallel.sharded_mol import ShardedCompressibleRK
+        rrp = _rp(nx, nx)
+        rrp.load_params("pyro2_tpu/solvers/compressible_rk/_defaults")
+        srk = ShardedCompressibleRK(rrp, mesh, problem="advect")
+        Urk = srk.init_interior()
+        st_rk = collective_stats(lambda u: srk._step(u, 0.0, dt), Urk)
+        emit("compressible_rk halo bytes/step/device",
+             st_rk["total_bytes"], "B",
+             {"ppermutes": st_rk.get("ppermute", {}).get("count", 0),
+              "grid": f"{nx}^2 on 2x4 mesh, RK4 (4 stages)"})
+    except Exception as e:
+        emit("compressible_rk accounting failed", 0, "",
+             {"error": f"{type(e).__name__}: {e}"})
+
     # north-star estimate: WEAK-scaled MG efficiency on real ICI, from
     # the measured on-chip fused-cycle time (BENCH r04: 0.30 ms/cycle at
     # 512^2/device) + this run's exact per-cycle collective counts +
