@@ -80,9 +80,14 @@ def _edge_plan(bc, px, py):
 
 
 def build_deep_smooth_kernel(*, bx, by, dpx, dpy, d, n_sweeps, dx, dy,
-                             bc, px, py, emit="v", dtype=jnp.float32,
-                             interpret=False):
-    """One smoothing round (n_sweeps red-black sweeps) on the deep frame.
+                             bc, px, py, emit="v", smoother="rbgs",
+                             dtype=jnp.float32, interpret=False):
+    """One smoothing round on the deep frame.
+
+    smoother: "rbgs" (n_sweeps red-black sweeps, the reference-parity
+    mode), "jacobi" (damped omega=0.8), or "chebyshev" (degree-n_sweeps
+    polynomial acceleration) -- the in-kernel twins of the jnp deep
+    smoothers (parallel/sharded_mg.py _deep_smooth).
 
     emit: "v" -> frame; "v_fc" -> (frame, restricted-residual ng=1 coarse
     frame); "v_r" -> (frame, full-frame residual, zero outside interior).
@@ -136,17 +141,51 @@ def build_deep_smooth_kernel(*, bx, by, dpx, dpy, d, n_sweeps, dx, dy,
         def half(v, m):
             upd = (f + xc * (jnp.roll(v, -1, 0) + jnp.roll(v, 1, 0)) +
                    yc * (jnp.roll(v, -1, 1) + jnp.roll(v, 1, 1))) / denom
-            return jnp.where(m, upd, v)
-
-        def sweep(s, v):
-            lim = jnp.asarray(d, jnp.int32) - (2 * s + 1)
-            v = refresh(half(v, elig(lim) & red))
-            v = refresh(half(v, elig(lim - 1) & ~red))
-            return v
+            return upd if m is None else jnp.where(m, upd, v)
 
         # entry refresh: the caller exchanges seam halos only (phys=False);
         # physical ghosts are filled here, where they are cheap
-        v = jax.lax.fori_loop(0, n_sweeps, sweep, refresh(v_ref[...]))
+        v0 = refresh(v_ref[...])
+        if smoother == "rbgs":
+            def sweep(s, v):
+                lim = jnp.asarray(d, jnp.int32) - (2 * s + 1)
+                v = refresh(half(v, elig(lim) & red))
+                v = refresh(half(v, elig(lim - 1) & ~red))
+                return v
+
+            v = jax.lax.fori_loop(0, n_sweeps, sweep, v0)
+        elif smoother == "jacobi":
+            omega = jnp.asarray(0.8, dtype)
+
+            def jstep(s, v):
+                lim = jnp.asarray(d, jnp.int32) - (s + 1)
+                upd = half(v, elig(lim))
+                # half() already selected; express as damped move
+                return refresh(jnp.where(elig(lim),
+                                         v + omega * (upd - v), v))
+
+            v = jax.lax.fori_loop(0, n_sweeps, jstep, v0)
+        else:  # chebyshev (same constants as the jnp deep smoother)
+            lmax, lmin = 2.0, 0.5
+            theta = jnp.asarray((lmax + lmin) / 2.0, dtype)
+            delta = jnp.asarray((lmax - lmin) / 2.0, dtype)
+            sigma = theta / delta
+            rho = 1.0 / sigma
+            v = v0
+            upd = half(v, None)
+            lim0 = jnp.asarray(d - 1, jnp.int32)
+            z = jnp.where(elig(lim0), upd - v, jnp.asarray(0.0, dtype))
+            dk = z / theta
+            v = refresh(jnp.where(elig(lim0), v + dk, v))
+            for s in range(1, n_sweeps):
+                rho_new = 1.0 / (2.0 * sigma - rho)
+                lim = jnp.asarray(d - (s + 1), jnp.int32)
+                upd = half(v, None)
+                z = jnp.where(elig(lim), upd - v,
+                              jnp.asarray(0.0, dtype))
+                dk = rho_new * rho * dk + (2.0 * rho_new / delta) * z
+                v = refresh(jnp.where(elig(lim), v + dk, v))
+                rho = rho_new
         out_refs[0][...] = v
 
         if emit != "v":

@@ -180,9 +180,8 @@ class ShardedMG:
             if type(self) is not ShardedMG:
                 raise ValueError("use_pallas supports the constant-"
                                  "coefficient ShardedMG only")
-            if comm_mode != "deep" or smoother != "rbgs":
-                raise ValueError("use_pallas requires comm_mode='deep' "
-                                 "and smoother='rbgs'")
+            if comm_mode != "deep":
+                raise ValueError("use_pallas requires comm_mode='deep'")
             bc = serial.bc
             for edge in ("xlb", "xrb", "ylb", "yrb"):
                 if getattr(bc, edge) not in SUPPORTED_BCS:
@@ -669,7 +668,7 @@ class ShardedMG:
         cache = getattr(self, "_psk_cache", None)
         if cache is None:
             cache = self._psk_cache = {}
-        key = (k, n_r, emit, jnp.dtype(dtype).name)
+        key = (k, n_r, emit, self.smoother, jnp.dtype(dtype).name)
         fn = cache.get(key)
         if fn is None:
             geom = self._deep_geom[k]
@@ -679,7 +678,8 @@ class ShardedMG:
                 bx=lg.nx, by=lg.ny, dpx=geom["dpx"], dpy=geom["dpy"],
                 d=geom["d"], n_sweeps=n_r, dx=g.dx, dy=g.dy,
                 bc=self.bc, px=self.px, py=self.py, emit=emit,
-                dtype=dtype, interpret=self._pallas_interpret())
+                smoother=self.smoother, dtype=dtype,
+                interpret=self._pallas_interpret())
             cache[key] = fn
         return fn
 
@@ -696,7 +696,8 @@ class ShardedMG:
         ab = jnp.stack([coarse_params["alpha"],
                         coarse_params["beta"]]).astype(dtype)
 
-        sweeps = geom["sweeps_rb"]
+        sweeps = geom["sweeps_rb" if self.smoother == "rbgs"
+                      else "sweeps_j"]
         v_int = v_std[1:-1, 1:-1]
         extra = None
         for i, n_r in enumerate(sweeps):

@@ -551,6 +551,26 @@ class TestDeepHaloMG:
         assert mg.num_cycles <= ref.num_cycles + 4, \
             (mg.num_cycles, ref.num_cycles)
 
+    @pytest.mark.slow
+    @pytest.mark.parametrize("smoother", ["jacobi", "chebyshev"])
+    def test_pallas_speed_smoothers_match_jnp(self, smoother):
+        """The in-kernel Jacobi/Chebyshev modes (pallas_sharded_mg) must
+        match the jnp deep speed smoothers (interpret mode)."""
+        from pyro2_tpu.parallel.sharded_mg import ShardedMG
+
+        N = 64
+        mesh = make_mesh(shape=(2, 4))
+        sols = {}
+        for use_pallas in (False, True):
+            mg = ShardedMG(N, N, mesh, smoother=smoother,
+                           use_pallas=use_pallas)
+            mg.init_zeros()
+            mg.init_RHS(self._rhs(N))
+            mg.solve(rtol=1e-11)
+            sols[use_pallas] = np.asarray(mg.get_solution())
+        scale = max(1.0, np.abs(sols[False]).max())
+        assert np.max(np.abs(sols[True] - sols[False])) < 1e-13 * scale
+
     def test_jacobi_partition_invariant(self):
         """Jacobi reads only old-iterate values, so it is partition-
         invariant across mesh shapes to compilation ulps (Chebyshev is
