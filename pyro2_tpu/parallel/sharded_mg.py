@@ -71,11 +71,6 @@ from pyro2_tpu.util import msg
 
 __all__ = ["ShardedMG", "ShardedVarCoeffMG", "ShardedGeneralMG"]
 
-
-def pallas_mg_core_max():
-    from pyro2_tpu.multigrid.pallas_mg import CORE_MAX
-    return CORE_MAX
-
 _SUPPORTED_BCS = frozenset(
     ["outflow", "neumann", "dirichlet", "reflect-odd", "reflect-even",
      "periodic"])
@@ -251,8 +246,8 @@ class ShardedMG:
             # to REPL_MAX^2 costs less than per-level kernel launches +
             # exchanges (a 1x1 mesh collapses to the serial fused
             # DOWN/UP/CORE structure)
-            repl_max = (pallas_mg_core_max() if self.px * self.py == 1
-                        else 64)
+            from pyro2_tpu.multigrid.pallas_mg import CORE_MAX
+            repl_max = CORE_MAX if self.px * self.py == 1 else 64
             k = self.k_cross
             while (k < self.nlevels - 1 and
                    self.serial.grids[k].nx <= repl_max):
