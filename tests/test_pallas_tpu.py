@@ -204,3 +204,30 @@ def test_ctu_padded_spherical_vs_jnp():
         scale = float(jnp.max(jnp.abs(a)))
         assert float(jnp.max(jnp.abs(a - b))) < 1e-5 * scale
         t = t + dt
+
+
+def test_production_step_auto_fused():
+    """Simulation.initialize wires evolve through the fused kernel on
+    TPU automatically (r04); the wired step must match the jnp step
+    bitwise on the interior and preserve ghost zones."""
+    from pyro2_tpu import Pyro
+
+    p = Pyro("compressible")
+    p.initialize_problem("kh", inputs_dict={
+        "mesh.nx": 64, "mesh.ny": 64,
+        "driver.verbose": 0, "vis.dovis": 0, "io.do_io": 0,
+        "particles.do_particles": 0})
+    sim = p.sim
+    # the wired step is NOT the plain jnp jit (the fused adapter)
+    assert sim._step.__wrapped__.__name__ == "step"
+
+    sim.cc_data.fill_BC_all()
+    U0 = sim.cc_data.data.astype(jnp.float32)
+    dt = jnp.asarray(1e-3, jnp.float32)
+    U_fused = sim._step(U0, 0.0, dt)
+    U_jnp = jax.jit(sim._make_step())(U0, 0.0, dt)
+    ng = sim.cc_data.grid.ng
+    assert bool(jnp.all(U_fused[:, ng:-ng, ng:-ng] ==
+                        U_jnp[:, ng:-ng, ng:-ng]))
+    # ghost zones carried through from the pre-step state
+    assert bool(jnp.all(U_fused[:, :ng, :] == U0[:, :ng, :]))
