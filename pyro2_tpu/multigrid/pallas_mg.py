@@ -505,8 +505,8 @@ def _make_down_banded(level, dx_of, nsmooth, bcs, dtype, interpret):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nb,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2,
-        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
         scratch_shapes=[
             pltpu.VMEM((B, qL), dtype), pltpu.VMEM((B, qL), dtype),
             pltpu.VMEM((B, qL), dtype), pltpu.VMEM((Wc, qcL), dtype),
@@ -585,9 +585,9 @@ def _make_up_banded(level, dx_of, nsmooth, bcs, want_r, dtype, interpret):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nb,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2 +
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2 +
         [pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * n_out,
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_out,
         scratch_shapes=scratch)
 
     call = pl.pallas_call(

@@ -618,6 +618,10 @@ class ShardedMG:
                     rho = rho_new
                 v_int = vd[dpx:dpx + bx, dpy:dpy + by]
 
+        if vd is None:
+            # empty sweep schedule (nsmooth=0): no smoothing happened,
+            # but the contract still promises depth-1 valid ghosts
+            vd = deep_pad_exchange(v_int, bc, px, py, dpx, dpy)
         return vd[dpx - 1:dpx + bx + 1, dpy - 1:dpy + by + 1]
 
     def _deep_rhs(self, k, f_std, geom):

@@ -319,7 +319,7 @@ def make_pallas_ctu_step(nx, ny, dx, dy, gamma, rp_params, ivars,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
             (nvar, tile_rows, qy_pad),
             lambda i, *_: (0, i, 0),
@@ -426,8 +426,8 @@ def make_pallas_ctu_step_padded(nx, ny, dx, dy, gamma, rp_params, ivars,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((nvar, band_in, qy_pad), jnp.float32),
             pltpu.VMEM((nvar, tile_rows, qy_pad), jnp.float32),
@@ -602,9 +602,9 @@ def make_pallas_ctu_step_padded_general(sim, tile_rows=None,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] *
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] *
         (1 + int(with_sources) + int(spherical)),
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=scratch,
     )
 
@@ -643,8 +643,12 @@ def make_pallas_ctu_step_padded_general(sim, tile_rows=None,
     else:
         @jax.jit
         def fill(P, t=0.0):
+            # fill_bc_stack may promote to f64 under x64 (spherical
+            # reflect fills touch f64 geometry); cast back so the
+            # scatter into the f32 padded frame stays same-dtype
             U = sim.cc_data.fill_bc_stack(from_padded(P), t=t)
-            return P.at[:, NGX - NG:NGX + nx + NG, :qy].set(U)
+            return P.at[:, NGX - NG:NGX + nx + NG, :qy].set(
+                U.astype(P.dtype))
 
     GP = None
     if spherical:

@@ -246,12 +246,22 @@ class Simulation(NullSimulation):
         # their own stage loops and override _make_step
         if (jax.default_backend() == "tpu" and
                 type(self)._make_step is Simulation._make_step):
+            from pyro2_tpu.solvers.compressible.pallas_step import \
+                IneligibleStep
             try:
                 self._step = self._make_fused_step()
-            except Exception as e:
+            except IneligibleStep as e:
+                # expected: this configuration is simply outside the
+                # kernel's coverage -- the jnp step is the designed path
                 if self.verbose > 0:
-                    print(f"fused CTU kernel unavailable "
-                          f"({type(e).__name__}: {e}); using the jnp step")
+                    print(f"fused CTU kernel ineligible ({e}); "
+                          "using the jnp step")
+            except Exception as e:
+                # unexpected (a Mosaic/compile regression, not a config
+                # gate): fall back so production keeps running, but always
+                # say so -- a silent 3-5x slowdown would mask the bug
+                print(f"WARNING: fused CTU kernel build failed "
+                      f"({type(e).__name__}: {e}); using the jnp step")
 
     def _make_fused_step(self):
         """An evolve-contract step(U, t, dt) backed by the fused Pallas
@@ -362,38 +372,45 @@ class Simulation(NullSimulation):
                 Ax = aic(myg.dy)
                 Ay = aic(myg.dx)
             else:
-                dtdV = dt / ai(jnp.asarray(myg.V), myg).v()
-                Ax = ai(jnp.asarray(myg.Ax), myg)
-                Ay = ai(jnp.asarray(myg.Ay), myg)
+                # geometry planes cast to the state dtype so the scatter
+                # below stays same-dtype (f64 planes into an f32 state
+                # would trip JAX's unsafe-scatter FutureWarning)
+                dtdV = dt / ai(jnp.asarray(myg.V, U.dtype), myg).v()
+                Ax = ai(jnp.asarray(myg.Ax, U.dtype), myg)
+                Ay = ai(jnp.asarray(myg.Ay, U.dtype), myg)
             Fx = ai(F_x, myg)
             Fy = ai(F_y, myg)
             upd = dtdV[None] * (
                 Fx.v() * Ax.v()[None] - Fx.ip(1) * Ax.ip(1)[None] +
                 Fy.v() * Ay.v()[None] - Fy.jp(1) * Ay.jp(1)[None])
-            U = U.at[(slice(None),) + iv_sl].add(upd)
+            # spherical fluxes carry f64 from the geometry planes in the
+            # transverse stage; the scatter-add would cast anyway -- make
+            # it explicit to keep the FutureWarning out of f32 runs
+            U = U.at[(slice(None),) + iv_sl].add(upd.astype(U.dtype))
 
             if coord == 1:
                 # non-conservative pressure gradients (momenta)
-                Lx = ai(jnp.asarray(myg.Lx), myg)
-                Ly = ai(jnp.asarray(myg.Ly), myg)
+                Lx = ai(jnp.asarray(myg.Lx, U.dtype), myg)
+                Ly = ai(jnp.asarray(myg.Ly, U.dtype), myg)
                 qxp = ai(qx[ivars.ip], myg)
                 qyp = ai(qy[ivars.ip], myg)
                 U = U.at[(ivars.ixmom,) + iv_sl].add(
-                    -dt * (qxp.ip(1) - qxp.v()) / Lx.v())
+                    (-dt * (qxp.ip(1) - qxp.v()) / Lx.v()).astype(U.dtype))
                 U = U.at[(ivars.iymom,) + iv_sl].add(
-                    -dt * (qyp.jp(1) - qyp.v()) / Ly.v())
+                    (-dt * (qyp.jp(1) - qyp.v()) / Ly.v()).astype(U.dtype))
 
             # predictor-corrector external sources
             S_old = get_external_sources(t, dt, U_old, ivars, rp, myg,
                                          problem_source=problem_source)
             U = U.at[(slice(None),) + iv_sl].add(
-                dt * S_old[(slice(None),) + iv_sl])
+                (dt * S_old[(slice(None),) + iv_sl]).astype(U.dtype))
 
             S_new = get_external_sources(t, dt, U, ivars, rp, myg,
                                          U_old=U_old,
                                          problem_source=problem_source)
             U = U.at[(slice(None),) + iv_sl].add(
-                0.5 * dt * (S_new - S_old)[(slice(None),) + iv_sl])
+                (0.5 * dt *
+                 (S_new - S_old)[(slice(None),) + iv_sl]).astype(U.dtype))
 
             # implicit sponge damping of the velocity
             if do_sponge:

@@ -39,8 +39,11 @@ class Simulation(compressible.Simulation):
                  slice(myg.jlo, myg.jhi + 1))
 
         def substep(U, t, dt):
+            # clamp the -1e200 "no floor" sentinel to the dtype's finite
+            # range (an f32 cast of -1e200 overflows and warns)
+            floor = max(small_dens, float(jnp.finfo(U.dtype).min))
             U = U.at[(ivars.idens,) + iv_sl[1:]].set(
-                jnp.maximum(U[(ivars.idens,) + iv_sl[1:]], small_dens))
+                jnp.maximum(U[(ivars.idens,) + iv_sl[1:]], floor))
 
             S = compressible.get_external_sources(
                 t, dt, U, ivars, rp, myg,
