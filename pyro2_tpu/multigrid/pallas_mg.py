@@ -630,7 +630,11 @@ def build_fused_cycle(mg, interpret=False):
     Pallas kernels, or raise Ineligible."""
     from pyro2_tpu.multigrid.MG import CellCenterMG2d
     if type(mg) is not CellCenterMG2d:
-        raise Ineligible("subclass overrides the smoother")
+        # the coefficient operators have their own fused kernel family
+        # (per-level coefficient planes as VMEM inputs)
+        from pyro2_tpu.multigrid import pallas_gen_mg
+        return pallas_gen_mg.build_fused_cycle_general(
+            mg, interpret=interpret)
     if mg.nx != mg.ny or (mg.nx & (mg.nx - 1)) != 0:
         raise Ineligible("requires square power-of-2 grid")
     if mg.nx > NX_MAX or mg.nx < 4:

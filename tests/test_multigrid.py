@@ -353,6 +353,142 @@ class TestFusedPallasCycle:
             MG._CYCLE_CACHE.clear()
 
 
+class TestFusedGeneralCycle:
+    """The fused coefficient-operator V-cycle (multigrid/pallas_gen_mg.py)
+    must reproduce the jnp cycles of VarCoeffCCMG2d / GeneralMG2d.
+    Interpret mode, f64 -> roundoff agreement."""
+
+    def _vc_mg(self, N=32):
+        g = Grid2d(N, N, ng=1)
+        bc_c = bnd.BC(xlb="neumann", xrb="neumann",
+                      ylb="neumann", yrb="neumann")
+        c = jnp.asarray(2.0 + np.cos(2 * np.pi * g.x2d) *
+                        np.cos(2 * np.pi * g.y2d))
+        return VarCoeffCCMG2d(N, N, coeffs=c, coeffs_bc=bc_c, verbose=0)
+
+    def _general_mg(self, N=32):
+        g = Grid2d(N, N, ng=1)
+        d = patch.CellCenterData2d(g)
+        bc_c = bnd.BC(xlb="neumann", xrb="neumann",
+                      ylb="neumann", yrb="neumann")
+        for name in ["alpha", "beta", "gamma_x", "gamma_y"]:
+            d.register_var(name, bc_c)
+        d.create()
+        d.set_var("alpha", jnp.full((g.qx, g.qy), 10.0))
+        d.set_var("beta", jnp.asarray(g.x2d * g.y2d + 1.0))
+        d.set_var("gamma_x", jnp.ones((g.qx, g.qy)))
+        d.set_var("gamma_y", jnp.ones((g.qx, g.qy)))
+        return GeneralMG2d(N, N, coeffs=d, verbose=0)
+
+    def _pair(self, mg):
+        from pyro2_tpu.multigrid import pallas_gen_mg
+        MG._CYCLE_CACHE.clear()
+        g = mg.soln_grid
+        f = jnp.asarray(np.sin(2 * np.pi * g.x2d) *
+                        np.cos(4 * np.pi * g.y2d) + 0.3 * g.x2d)
+        v0 = jnp.zeros((g.qx, g.qy), f.dtype)
+        fused = pallas_gen_mg.build_fused_cycle_general(mg, interpret=True)
+        nlev = mg.nlevels - 1
+
+        def one_cycle(v, ff, params):
+            v = mg._v_cycle(nlev, v, ff, params)
+            r = mg._residual(nlev, v, ff, params)
+            return v, r, ai(r, g).norm()
+
+        p = mg._params()
+        vf, rf, nf = fused(v0, f, p)
+        vj, rj, nj = one_cycle(v0, f, p)
+        return (np.asarray(vf), float(nf), np.asarray(vj), float(nj))
+
+    def test_vc_parity(self):
+        vf, nf, vj, nj = self._pair(self._vc_mg())
+        assert np.max(np.abs(vf - vj)) < 1e-13 * max(1, np.abs(vj).max())
+        assert abs(nf - nj) < 1e-12 * max(1.0, nj)
+
+    def test_general_parity(self):
+        vf, nf, vj, nj = self._pair(self._general_mg())
+        assert np.max(np.abs(vf - vj)) < 1e-13 * max(1, np.abs(vj).max())
+        assert abs(nf - nj) < 1e-12 * max(1.0, nj)
+
+    def test_vc_peeled_parity(self):
+        """Force level peeling so the coefficient DOWN/UP kernels run."""
+        from pyro2_tpu.multigrid import pallas_mg
+        saved = pallas_mg.CORE_MAX
+        pallas_mg.CORE_MAX = 8
+        try:
+            vf, nf, vj, nj = self._pair(self._vc_mg())
+        finally:
+            pallas_mg.CORE_MAX = saved
+        assert np.max(np.abs(vf - vj)) < 1e-13 * max(1, np.abs(vj).max())
+        assert abs(nf - nj) < 1e-12 * max(1.0, nj)
+
+    def test_general_peeled_parity(self):
+        from pyro2_tpu.multigrid import pallas_mg
+        saved = pallas_mg.CORE_MAX
+        pallas_mg.CORE_MAX = 8
+        try:
+            vf, nf, vj, nj = self._pair(self._general_mg())
+        finally:
+            pallas_mg.CORE_MAX = saved
+        assert np.max(np.abs(vf - vj)) < 1e-13 * max(1, np.abs(vj).max())
+
+    def test_inhomogeneous_ineligible(self):
+        """Inhomogeneous general BCs stay on the jnp path."""
+        from pyro2_tpu.multigrid import pallas_gen_mg
+        N = 16
+        g = Grid2d(N, N, ng=1)
+        d = patch.CellCenterData2d(g)
+        bc_c = bnd.BC(xlb="neumann", xrb="neumann",
+                      ylb="neumann", yrb="neumann")
+        for name in ["alpha", "beta", "gamma_x", "gamma_y"]:
+            d.register_var(name, bc_c)
+        d.create()
+        d.set_var("beta", jnp.ones((g.qx, g.qy)))
+        mg = GeneralMG2d(N, N, coeffs=d,
+                         xl_BC=lambda y: np.cos(np.pi * y / 2.0),
+                         verbose=0)
+        import pytest as _pytest
+        with _pytest.raises(pallas_gen_mg.Ineligible):
+            pallas_gen_mg.build_fused_cycle_general(mg, interpret=True)
+
+    def test_vc_full_solve_interpret(self):
+        """End-to-end vc solve auto-routed through the fused path: same
+        analytic problem as TestVarCoeff, forced onto the kernels."""
+        MG._CYCLE_CACHE.clear()
+        MG._FORCE_PALLAS_INTERPRET = True
+        try:
+            N = 32
+
+            def true_fn(x, y):
+                return np.sin(2.0 * np.pi * x) * np.sin(2.0 * np.pi * y)
+
+            def eta(x, y):
+                return 2.0 + np.cos(2.0 * np.pi * x) * \
+                    np.cos(2.0 * np.pi * y)
+
+            def frhs(x, y):
+                return (-16.0 * np.pi ** 2 *
+                        (np.cos(2 * np.pi * x) * np.cos(2 * np.pi * y)
+                         + 1) *
+                        np.sin(2 * np.pi * x) * np.sin(2 * np.pi * y))
+
+            g = Grid2d(N, N, ng=1)
+            bc_c = bnd.BC(xlb="neumann", xrb="neumann",
+                          ylb="neumann", yrb="neumann")
+            c = jnp.asarray(eta(g.x2d, g.y2d))
+            a = VarCoeffCCMG2d(N, N, coeffs=c, coeffs_bc=bc_c, verbose=0)
+            a.init_zeros()
+            a.init_RHS(jnp.asarray(frhs(a.x2d, a.y2d)))
+            a.solve(rtol=1.e-11)
+            v = a.get_solution()
+            err = _l2(v - jnp.asarray(true_fn(a.x2d, a.y2d)), a.soln_grid)
+            assert err < 2.5e-2, err
+            assert a.residual_error < 1.e-11
+        finally:
+            MG._FORCE_PALLAS_INTERPRET = False
+            MG._CYCLE_CACHE.clear()
+
+
 class TestMGExamples:
     """The reference's multigrid/examples/ scripts double as regression
     tests (reference test.py:136-157); run the newly-added ones at small N."""

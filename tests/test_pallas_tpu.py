@@ -231,3 +231,49 @@ def test_production_step_auto_fused():
                         U_jnp[:, ng:-ng, ng:-ng]))
     # ghost zones carried through from the pre-step state
     assert bool(jnp.all(U_fused[:, :ng, :] == U0[:, :ng, :]))
+
+
+@pytest.mark.parametrize("flavor", ["vc", "general"])
+def test_fused_coefficient_mg_vs_jnp(flavor):
+    """The fused coefficient-operator V-cycle (pallas_gen_mg) matches the
+    jnp cycle to f32 roundoff on hardware, for both operator flavors."""
+    import numpy as np
+
+    import pyro2_tpu.mesh.boundary as bnd
+    from pyro2_tpu.mesh import patch
+    from pyro2_tpu.mesh.grid import Grid2d
+    from pyro2_tpu.multigrid import pallas_gen_mg
+    from pyro2_tpu.multigrid.general_MG import GeneralMG2d
+    from pyro2_tpu.multigrid.variable_coeff_MG import VarCoeffCCMG2d
+
+    N = 128
+    g = Grid2d(N, N, ng=1)
+    bc_c = bnd.BC(xlb="neumann", xrb="neumann",
+                  ylb="neumann", yrb="neumann")
+    if flavor == "vc":
+        c = jnp.asarray(2.0 + np.cos(2 * np.pi * g.x2d) *
+                        np.cos(2 * np.pi * g.y2d), jnp.float32)
+        mg = VarCoeffCCMG2d(N, N, coeffs=c, coeffs_bc=bc_c, verbose=0)
+    else:
+        d = patch.CellCenterData2d(g)
+        for name in ["alpha", "beta", "gamma_x", "gamma_y"]:
+            d.register_var(name, bc_c)
+        d.create()
+        d.set_var("alpha", jnp.full((g.qx, g.qy), 10.0, jnp.float32))
+        d.set_var("beta", jnp.asarray(g.x2d * g.y2d + 1.0, jnp.float32))
+        d.set_var("gamma_x", jnp.ones((g.qx, g.qy), jnp.float32))
+        d.set_var("gamma_y", jnp.ones((g.qx, g.qy), jnp.float32))
+        mg = GeneralMG2d(N, N, coeffs=d, verbose=0)
+
+    fused = pallas_gen_mg.build_fused_cycle_general(mg)
+    jnp_cycle = mg._build_cycle(force_jnp=True)
+    gg = mg.soln_grid
+    f = jnp.asarray(np.sin(2 * np.pi * gg.x2d) *
+                    np.cos(4 * np.pi * gg.y2d), jnp.float32)
+    v0 = jnp.zeros((gg.qx, gg.qy), jnp.float32)
+    p = mg._params()
+    vf, _, nf = fused(v0, f, p)
+    vj, _, nj = jnp_cycle(v0, f, p)
+    scale = float(jnp.max(jnp.abs(vj)))
+    assert float(jnp.max(jnp.abs(vf - vj))) < 1e-6 * max(1.0, scale)
+    assert abs(float(nf) - float(nj)) < 1e-4 * max(1.0, float(nj))
