@@ -23,8 +23,12 @@ count), BC kinds, dx, dtype.  Dynamic (SMEM): alpha/beta and the 8 seam/
 edge-ownership flags derived from the block's mesh coordinates -- so one
 compiled kernel serves every device position SPMD-style.
 
-Constant-coefficient, homogeneous standard BCs only (the eligibility
-surface of pallas_mg); anything else stays on the jnp deep path.
+Operator coverage: constant-coefficient (scalar alpha/beta via SMEM),
+variable-coefficient, and general form (per-level coefficient-plane
+stacks as VMEM inputs, laid out on the deep frame by the ShardedMG
+subclasses' _coeff_layout) -- all with homogeneous standard BCs (the
+eligibility surface of pallas_mg/pallas_gen_mg); anything else stays on
+the jnp deep path.
 """
 
 import jax
@@ -34,7 +38,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from pyro2_tpu.multigrid import pallas_mg
 
-__all__ = ["build_deep_smooth_kernel", "build_core_kernel", "SUPPORTED_BCS"]
+__all__ = ["build_deep_smooth_kernel", "build_core_kernel",
+           "build_core_kernel_general", "SUPPORTED_BCS"]
 
 SUPPORTED_BCS = pallas_mg._SUPPORTED_BCS
 
@@ -81,7 +86,7 @@ def _edge_plan(bc, px, py):
 
 def build_deep_smooth_kernel(*, bx, by, dpx, dpy, d, n_sweeps, dx, dy,
                              bc, px, py, emit="v", smoother="rbgs",
-                             dtype=jnp.float32, interpret=False):
+                             ncoef=0, dtype=jnp.float32, interpret=False):
     """One smoothing round on the deep frame.
 
     smoother: "rbgs" (n_sweeps red-black sweeps, the reference-parity
@@ -92,22 +97,46 @@ def build_deep_smooth_kernel(*, bx, by, dpx, dpy, d, n_sweeps, dx, dy,
     emit: "v" -> frame; "v_fc" -> (frame, restricted-residual ng=1 coarse
     frame); "v_r" -> (frame, full-frame residual, zero outside interior).
 
-    Returns fn(flags_i32[8], ab[2], vd, fd).  flags: [seam_xl, seam_xr,
-    seam_yl, seam_yr, own_xl, own_xr, own_yl, own_yr] as int32.
+    ncoef selects the operator: 0 -> constant-coefficient (alpha - beta L,
+    scalars via the ab SMEM input), 2 -> variable-coefficient (plane
+    stack [eta_x, eta_y], edge-averaged, 1/dx^2-prescaled), 5 -> general
+    (plane stack [alpha, beta_x, beta_y, gamma_x, gamma_y], gammas
+    0.5/dx-prescaled).  Plane stacks arrive as an (ncoef, Fx, Fy) VMEM
+    input laid out on the same deep frame as v/f; formulas mirror the
+    jnp _deep_gs_update of the matching ShardedMG class term-for-term.
+
+    Returns fn(flags_i32[8], ab[2], vd, fd) for ncoef=0, else
+    fn(flags_i32[8], vd, fd, C).  flags: [seam_xl, seam_xr, seam_yl,
+    seam_yr, own_xl, own_xr, own_yl, own_yr] as int32.
     """
     Fx, Fy = bx + 2 * dpx, by + 2 * dpy
     plan = _edge_plan(bc, px, py)
 
-    def kernel(flags_ref, ab_ref, v_ref, f_ref, *out_refs):
+    def kernel(flags_ref, *refs):
+        if ncoef == 0:
+            ab_ref, v_ref, f_ref = refs[0], refs[1], refs[2]
+            out_refs = refs[3:]
+        else:
+            v_ref, f_ref, c_ref = refs[0], refs[1], refs[2]
+            out_refs = refs[3:]
         # masks are pure iota arithmetic -- built in-kernel so nothing is
         # captured from the enclosing trace
         exl, exr, eyl, eyr, red = _make_masks(bx, by, dpx, dpy)
         xi, yi = _frame_iotas(Fx, Fy)
         interior = (exl == 0) & (exr == 0) & (eyl == 0) & (eyr == 0)
-        alpha, beta = ab_ref[0], ab_ref[1]
-        xc = beta / dx ** 2
-        yc = beta / dy ** 2
-        denom = alpha + 2.0 * xc + 2.0 * yc
+        if ncoef == 0:
+            alpha, beta = ab_ref[0], ab_ref[1]
+            xc = beta / dx ** 2
+            yc = beta / dy ** 2
+            denom = alpha + 2.0 * xc + 2.0 * yc
+        else:
+            C = c_ref[...]
+            if ncoef == 2:
+                cbx, cby = C[0], C[1]
+            else:
+                cal, cbx, cby, cgx, cgy = C[0], C[1], C[2], C[3], C[4]
+            cbxp = jnp.roll(cbx, -1, 0)
+            cbyp = jnp.roll(cby, -1, 1)
         sxl, sxr, syl, syr = (flags_ref[0], flags_ref[1], flags_ref[2],
                               flags_ref[3])
         f = f_ref[...]
@@ -139,8 +168,19 @@ def build_deep_smooth_kernel(*, bx, by, dpx, dpy, d, n_sweeps, dx, dy,
             return a
 
         def half(v, m):
-            upd = (f + xc * (jnp.roll(v, -1, 0) + jnp.roll(v, 1, 0)) +
-                   yc * (jnp.roll(v, -1, 1) + jnp.roll(v, 1, 1))) / denom
+            vip = jnp.roll(v, -1, 0)
+            vim = jnp.roll(v, 1, 0)
+            vjp = jnp.roll(v, -1, 1)
+            vjm = jnp.roll(v, 1, 1)
+            if ncoef == 0:
+                upd = (f + xc * (vip + vim) + yc * (vjp + vjm)) / denom
+            elif ncoef == 2:
+                upd = (-f + cbxp * vip + cbx * vim +
+                       cbyp * vjp + cby * vjm) / (cbxp + cbx + cbyp + cby)
+            else:
+                upd = (f - (cbxp + cgx) * vip - (cbx - cgx) * vim -
+                       (cbyp + cgy) * vjp - (cby - cgy) * vjm) / \
+                    (cal - cbxp - cbx - cbyp - cby)
             return upd if m is None else jnp.where(m, upd, v)
 
         # entry refresh: the caller exchanges seam halos only (phys=False);
@@ -189,11 +229,21 @@ def build_deep_smooth_kernel(*, bx, by, dpx, dpy, d, n_sweeps, dx, dy,
         out_refs[0][...] = v
 
         if emit != "v":
-            lap = (jnp.roll(v, -1, 0) + jnp.roll(v, 1, 0) +
-                   jnp.roll(v, -1, 1) + jnp.roll(v, 1, 1) - 4.0 * v) \
-                / dx ** 2
-            r = jnp.where(interior, f - alpha * v + beta * lap,
-                          jnp.asarray(0.0, dtype))
+            vip = jnp.roll(v, -1, 0)
+            vim = jnp.roll(v, 1, 0)
+            vjp = jnp.roll(v, -1, 1)
+            vjm = jnp.roll(v, 1, 1)
+            if ncoef == 0:
+                lap = (vip + vim + vjp + vjm - 4.0 * v) / dx ** 2
+                r_full = f - alpha * v + beta * lap
+            else:
+                L = (cbxp * (vip - v) - cbx * (v - vim) +
+                     cbyp * (vjp - v) - cby * (v - vjm))
+                if ncoef == 5:
+                    L = (cal * v + L +
+                         cgx * (vip - vim) + cgy * (vjp - vjm))
+                r_full = f - L
+            r = jnp.where(interior, r_full, jnp.asarray(0.0, dtype))
             if emit == "v_r":
                 out_refs[1][...] = r
             else:
@@ -226,12 +276,19 @@ def build_deep_smooth_kernel(*, bx, by, dpx, dpy, d, n_sweeps, dx, dy,
                      jax.ShapeDtypeStruct((bx // 2 + 2, by // 2 + 2),
                                           dtype, vma=vma)]
 
+    if ncoef == 0:
+        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                    pl.BlockSpec(memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.VMEM)]
+    else:
+        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
+                    pl.BlockSpec(memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.VMEM)]
     return pl.pallas_call(
         kernel,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                  pl.BlockSpec(memory_space=pltpu.SMEM),
-                  pl.BlockSpec(memory_space=pltpu.VMEM),
-                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        in_specs=in_specs,
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)
                    for _ in out_shape],
         out_shape=out_shape,
@@ -307,5 +364,27 @@ def build_core_kernel(serial_mg, top_level, dtype, interpret=False):
 
     def core(ab, v, f):
         return call(ab, v, f)[0]
+
+    return core
+
+
+def build_core_kernel_general(serial_mg, top_level, ncoef, dtype,
+                              interpret=False):
+    """The coefficient-operator fused core (pallas_gen_mg) for the
+    replicated sub-crossover recursion.  fn(v, f, Cs) -> v where Cs is
+    the tuple of per-level (ncoef, q_k, q_k) coefficient stacks for
+    levels 0..top_level (replicated)."""
+    from pyro2_tpu.multigrid import pallas_gen_mg
+
+    bc = serial_mg.bc
+    bcs = (bc.xlb, bc.xrb, bc.ylb, bc.yrb)
+
+    call = pallas_gen_mg._make_core_kernel_g(
+        top_level, serial_mg.nsmooth, serial_mg.nsmooth_bottom, bcs,
+        want_r=False, ncoef=ncoef, dtype=dtype, interpret=interpret,
+        vma=frozenset({"x", "y"}))
+
+    def core(v, f, Cs):
+        return call(v, f, *Cs)[0]
 
     return core

@@ -137,6 +137,11 @@ class ShardedMG:
     # it to pin the crossover while isolating the smoothing schedule
     _deep_crossover = 16
 
+    # fused-kernel operator arity: 0 = constant-coefficient scalars,
+    # 2 = vc planes [eta_x, eta_y], 5 = general planes (see
+    # pallas_sharded_mg.build_deep_smooth_kernel)
+    _pallas_ncoef = 0
+
     def __init__(self, nx, ny, mesh, *,
                  xmin=0.0, xmax=1.0, ymin=0.0, ymax=1.0,
                  xl_BC_type="dirichlet", xr_BC_type="dirichlet",
@@ -172,9 +177,6 @@ class ShardedMG:
             raise ValueError("speed smoothers require comm_mode='deep'")
         if use_pallas:
             from pyro2_tpu.multigrid.pallas_sharded_mg import SUPPORTED_BCS
-            if type(self) is not ShardedMG:
-                raise ValueError("use_pallas supports the constant-"
-                                 "coefficient ShardedMG only")
             if comm_mode != "deep":
                 raise ValueError("use_pallas requires comm_mode='deep'")
             bc = serial.bc
@@ -667,7 +669,8 @@ class ShardedMG:
         cache = getattr(self, "_psk_cache", None)
         if cache is None:
             cache = self._psk_cache = {}
-        key = (k, n_r, emit, self.smoother, jnp.dtype(dtype).name)
+        key = (k, n_r, emit, self.smoother, jnp.dtype(dtype).name,
+               self._pallas_ncoef)
         fn = cache.get(key)
         if fn is None:
             geom = self._deep_geom[k]
@@ -677,13 +680,23 @@ class ShardedMG:
                 bx=lg.nx, by=lg.ny, dpx=geom["dpx"], dpy=geom["dpy"],
                 d=geom["d"], n_sweeps=n_r, dx=g.dx, dy=g.dy,
                 bc=self.bc, px=self.px, py=self.py, emit=emit,
-                smoother=self.smoother, dtype=dtype,
-                interpret=self._pallas_interpret())
+                smoother=self.smoother, ncoef=self._pallas_ncoef,
+                dtype=dtype, interpret=self._pallas_interpret())
             cache[key] = fn
         return fn
 
+    def _kernel_coeffs(self, k, local_params, dtype):
+        """The (ncoef, Fx, Fy) deep-frame coefficient stack for level k's
+        smoothing kernel (None for the constant-coefficient operator)."""
+        return None
+
+    def _core_coeff_stacks(self, coarse_params, kc, dtype):
+        """Per-level (ncoef, q, q) replicated coefficient stacks for the
+        fused coarse core, levels 0..kc (None for constant coefficients)."""
+        return None
+
     def _deep_smooth_pallas(self, k, v_std, f_deep, geom, coarse_params,
-                            emit_last="v"):
+                            local_params, emit_last="v"):
         """The Pallas twin of _deep_smooth (rbgs): one kernel per
         smoothing round; the final round optionally fuses the residual
         [+ restrict].  Returns (ng=1 padded block, extra-or-None)."""
@@ -692,8 +705,10 @@ class ShardedMG:
         dpx, dpy = geom["dpx"], geom["dpy"]
         dtype = v_std.dtype
         flags = self._kernel_flags()
-        ab = jnp.stack([coarse_params["alpha"],
-                        coarse_params["beta"]]).astype(dtype)
+        C = self._kernel_coeffs(k, local_params, dtype)
+        if C is None:
+            ab = jnp.stack([coarse_params["alpha"],
+                            coarse_params["beta"]]).astype(dtype)
 
         sweeps = geom["sweeps_rb" if self.smoother == "rbgs"
                       else "sweeps_j"]
@@ -705,8 +720,9 @@ class ShardedMG:
             vd = deep_pad_exchange(v_int, self.bc, self.px, self.py,
                                    dpx, dpy, phys=False)
             emit = emit_last if i == len(sweeps) - 1 else "v"
-            outs = self._smooth_kernel(k, n_r, emit, dtype)(
-                flags, ab, vd, f_deep)
+            kfn = self._smooth_kernel(k, n_r, emit, dtype)
+            outs = (kfn(flags, ab, vd, f_deep) if C is None
+                    else kfn(flags, vd, f_deep, C))
             if emit == "v":
                 vd, = outs
             else:
@@ -733,20 +749,30 @@ class ShardedMG:
         f_glob = jnp.zeros((gk.qx, gk.qy), f_int.dtype)
         f_glob = f_glob.at[gk.ilo:gk.ihi + 1, gk.jlo:gk.jhi + 1].set(f_int)
         if self.use_pallas:
-            from pyro2_tpu.multigrid.pallas_sharded_mg import \
-                build_core_kernel
+            from pyro2_tpu.multigrid.pallas_sharded_mg import (
+                build_core_kernel, build_core_kernel_general)
             cache = getattr(self, "_psk_cache", None)
             if cache is None:
                 cache = self._psk_cache = {}
             key = ("core", kc, f_glob.dtype.name)
             core = cache.get(key)
+            Cs = self._core_coeff_stacks(coarse_params, kc, f_glob.dtype)
             if core is None:
-                core = build_core_kernel(self.serial, kc, f_glob.dtype,
-                                         interpret=self._pallas_interpret())
+                if Cs is None:
+                    core = build_core_kernel(
+                        self.serial, kc, f_glob.dtype,
+                        interpret=self._pallas_interpret())
+                else:
+                    core = build_core_kernel_general(
+                        self.serial, kc, self._pallas_ncoef, f_glob.dtype,
+                        interpret=self._pallas_interpret())
                 cache[key] = core
-            ab = jnp.stack([coarse_params["alpha"],
-                            coarse_params["beta"]]).astype(f_glob.dtype)
-            v_glob = core(ab, jnp.zeros_like(f_glob), f_glob)
+            if Cs is None:
+                ab = jnp.stack([coarse_params["alpha"],
+                                coarse_params["beta"]]).astype(f_glob.dtype)
+                v_glob = core(ab, jnp.zeros_like(f_glob), f_glob)
+            else:
+                v_glob = core(jnp.zeros_like(f_glob), f_glob, Cs)
         else:
             v_glob = self.serial._v_cycle(kc, jnp.zeros_like(f_glob),
                                           f_glob, coarse_params)
@@ -774,7 +800,7 @@ class ShardedMG:
         if geom is not None and self.use_pallas:
             f_deep = self._deep_rhs(k, f, geom)
             v, f_c = self._deep_smooth_pallas(k, v, f_deep, geom,
-                                              coarse_params,
+                                              coarse_params, local_params,
                                               emit_last="v_fc")
         else:
             if geom is not None:
@@ -817,7 +843,7 @@ class ShardedMG:
             # the deep smoother re-exchanges v itself; no ghost fill needed
             if self.use_pallas:
                 v, r = self._deep_smooth_pallas(
-                    k, v, f_deep, geom, coarse_params,
+                    k, v, f_deep, geom, coarse_params, local_params,
                     emit_last="v_r" if want_top_r else "v")
                 return (v, r) if want_top_r else v
             return self._deep_smooth(k, v, f_deep, geom, coarse_params,
@@ -1039,6 +1065,8 @@ class ShardedVarCoeffMG(ShardedMG):
     formula on the deep frame).
     """
 
+    _pallas_ncoef = 2
+
     def __init__(self, nx, ny, mesh, *,
                  xmin=0.0, xmax=1.0, ymin=0.0, ymax=1.0,
                  xl_BC_type="dirichlet", xr_BC_type="dirichlet",
@@ -1046,7 +1074,7 @@ class ShardedVarCoeffMG(ShardedMG):
                  nsmooth=10, nsmooth_bottom=50,
                  coeffs=None, coeffs_bc=None,
                  comm_mode="deep", smoother="rbgs", nsmooth_speed=None,
-                 verbose=0):
+                 use_pallas=False, verbose=0):
         _check_bcs(xl_BC_type, xr_BC_type, yl_BC_type, yr_BC_type)
 
         serial = VarCoeffCCMG2d(
@@ -1056,7 +1084,8 @@ class ShardedVarCoeffMG(ShardedMG):
             nsmooth=nsmooth, nsmooth_bottom=nsmooth_bottom,
             coeffs=coeffs, coeffs_bc=coeffs_bc, verbose=0)
         self._setup_mesh(serial, mesh, verbose, comm_mode=comm_mode,
-                         smoother=smoother, nsmooth_speed=nsmooth_speed)
+                         smoother=smoother, nsmooth_speed=nsmooth_speed,
+                         use_pallas=use_pallas)
 
         # block-padded edge-coefficient layouts for the sharded levels
         self._local_coeffs = {
@@ -1086,6 +1115,16 @@ class ShardedVarCoeffMG(ShardedMG):
                 exp1 * jnp.roll(v, -1, -2) + ex * jnp.roll(v, 1, -2) +
                 eyp1 * jnp.roll(v, -1, -1) + ey * jnp.roll(v, 1, -1)) / denom
 
+    def _kernel_coeffs(self, k, local_params, dtype):
+        return jnp.stack([local_params["eta_x"][k],
+                          local_params["eta_y"][k]]).astype(dtype)
+
+    def _core_coeff_stacks(self, coarse_params, kc, dtype):
+        return tuple(
+            jnp.stack([coarse_params["eta_x"][k],
+                       coarse_params["eta_y"][k]]).astype(dtype)
+            for k in range(kc + 1))
+
 
 class ShardedGeneralMG(ShardedMG):
     """SPMD general-form multigrid:
@@ -1097,6 +1136,8 @@ class ShardedGeneralMG(ShardedMG):
     the serial class.
     """
 
+    _pallas_ncoef = 5
+
     def __init__(self, nx, ny, mesh, *,
                  xmin=0.0, xmax=1.0, ymin=0.0, ymax=1.0,
                  xl_BC_type="dirichlet", xr_BC_type="dirichlet",
@@ -1104,7 +1145,7 @@ class ShardedGeneralMG(ShardedMG):
                  nsmooth=10, nsmooth_bottom=50,
                  coeffs=None,
                  comm_mode="deep", smoother="rbgs", nsmooth_speed=None,
-                 verbose=0):
+                 use_pallas=False, verbose=0):
         _check_bcs(xl_BC_type, xr_BC_type, yl_BC_type, yr_BC_type)
 
         serial = GeneralMG2d(
@@ -1114,7 +1155,8 @@ class ShardedGeneralMG(ShardedMG):
             nsmooth=nsmooth, nsmooth_bottom=nsmooth_bottom,
             coeffs=coeffs, verbose=0)
         self._setup_mesh(serial, mesh, verbose, comm_mode=comm_mode,
-                         smoother=smoother, nsmooth_speed=nsmooth_speed)
+                         smoother=smoother, nsmooth_speed=nsmooth_speed,
+                         use_pallas=use_pallas)
 
         rng = range(self.k_cross, self.nlevels)
         self._local_coeffs = {
@@ -1155,3 +1197,22 @@ class ShardedGeneralMG(ShardedMG):
                 (bx_ - gx) * jnp.roll(v, 1, -2) -
                 (byp + gy) * jnp.roll(v, -1, -1) -
                 (by_ - gy) * jnp.roll(v, 1, -1)) / denom
+
+    def _kernel_coeffs(self, k, local_params, dtype):
+        g = self.serial.grids[k]
+        return jnp.stack([
+            local_params["alpha"][k],
+            local_params["beta_x"][k], local_params["beta_y"][k],
+            0.5 * local_params["gamma_x"][k] / g.dx,
+            0.5 * local_params["gamma_y"][k] / g.dy]).astype(dtype)
+
+    def _core_coeff_stacks(self, coarse_params, kc, dtype):
+        grids = self.serial.grids
+        return tuple(
+            jnp.stack([
+                coarse_params["alpha"][k],
+                coarse_params["beta_x"][k], coarse_params["beta_y"][k],
+                0.5 * coarse_params["gamma_x"][k] / grids[k].dx,
+                0.5 * coarse_params["gamma_y"][k] / grids[k].dy]
+            ).astype(dtype)
+            for k in range(kc + 1))

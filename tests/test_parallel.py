@@ -723,6 +723,26 @@ class TestShardedVarCoeffMG:
         scale = max(1.0, np.abs(v_ser).max())
         assert np.max(np.abs(v_sh - v_ser)) < 1e-12 * scale
 
+    @pytest.mark.slow
+    def test_pallas_matches_jnp(self):
+        """The fused vc deep-smooth/core kernels (plane-stack inputs)
+        must match the jnp sharded path (interpret mode, f64)."""
+        from pyro2_tpu.parallel.sharded_mg import ShardedVarCoeffMG
+
+        N = 64
+        g, eta, bc_c, f, true = self._setup(N)
+        mesh = make_mesh(shape=(2, 4))
+        sols = {}
+        for use_pallas in (False, True):
+            mg = ShardedVarCoeffMG(N, N, mesh, coeffs=eta, coeffs_bc=bc_c,
+                                   use_pallas=use_pallas)
+            mg.init_zeros()
+            mg.init_RHS(f)
+            mg.solve(rtol=1e-11)
+            sols[use_pallas] = np.asarray(mg.get_solution())
+        scale = max(1.0, np.abs(sols[False]).max())
+        assert np.max(np.abs(sols[True] - sols[False])) < 1e-11 * scale
+
 
 class TestShardedGeneralMG:
     """Block-partitioned general-form MG: partition invariance vs the
@@ -783,6 +803,52 @@ class TestShardedGeneralMG:
         err = float(np.sqrt(g.dx * g.dy * np.sum(
             (v_sh - true[g.ilo:g.ihi + 1, g.jlo:g.jhi + 1]) ** 2)))
         assert err < 3.0e-3, err
+
+    @pytest.mark.slow
+    def test_pallas_matches_jnp(self):
+        """The fused general-operator kernels (5-plane stacks) must match
+        the jnp sharded path (interpret mode, f64)."""
+        import pyro2_tpu.mesh.boundary as bnd
+        from pyro2_tpu.mesh import patch
+        from pyro2_tpu.mesh.grid import Grid2d
+        from pyro2_tpu.parallel.sharded_mg import ShardedGeneralMG
+
+        N = 64
+        g = Grid2d(N, N, ng=1)
+
+        def make_coeffs():
+            d = patch.CellCenterData2d(g)
+            bc_c = bnd.BC(xlb="neumann", xrb="neumann",
+                          ylb="neumann", yrb="neumann")
+            for name in ["alpha", "beta", "gamma_x", "gamma_y"]:
+                d.register_var(name, bc_c)
+            d.create()
+            d.set_var("alpha", jnp.ones((g.qx, g.qy)))
+            d.set_var("beta", jnp.asarray(
+                2.0 + np.cos(2 * np.pi * g.x2d) *
+                np.cos(2 * np.pi * g.y2d)))
+            d.set_var("gamma_x", jnp.asarray(np.sin(2 * np.pi * g.x2d)))
+            d.set_var("gamma_y", jnp.asarray(np.sin(2 * np.pi * g.y2d)))
+            return d
+
+        f = ((-16.0 * np.pi ** 2 * np.cos(2 * np.pi * g.x2d) *
+              np.cos(2 * np.pi * g.y2d) +
+              2.0 * np.pi * np.cos(2 * np.pi * g.x2d) +
+              2.0 * np.pi * np.cos(2 * np.pi * g.y2d) -
+              16.0 * np.pi ** 2 + 1.0) *
+             np.sin(2 * np.pi * g.x2d) * np.sin(2 * np.pi * g.y2d))
+
+        mesh = make_mesh(shape=(2, 4))
+        sols = {}
+        for use_pallas in (False, True):
+            mg = ShardedGeneralMG(N, N, mesh, coeffs=make_coeffs(),
+                                  use_pallas=use_pallas)
+            mg.init_zeros()
+            mg.init_RHS(jnp.asarray(f))
+            mg.solve(rtol=1e-11)
+            sols[use_pallas] = np.asarray(mg.get_solution())
+        scale = max(1.0, np.abs(sols[False]).max())
+        assert np.max(np.abs(sols[True] - sols[False])) < 1e-11 * scale
 
 
 class TestEnsemble:
