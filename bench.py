@@ -683,6 +683,11 @@ def main():
         extras.update(bench_mg())
     except Exception as e:
         _log(f"MG bench failed: {e}")
+    try:
+        from bench_families import bench_families
+        extras["families"] = bench_families(log=_log)
+    except Exception as e:
+        _log(f"family bench failed: {type(e).__name__}: {e}")
 
     ref_zups = None
     try:
@@ -709,7 +714,7 @@ def main():
     # reported raw with their caveats)
     vs_baseline = (zups / our_cpu) if our_cpu else 1.0
 
-    print(json.dumps({
+    detail = {
         "metric": "zone-updates/s/chip (compressible CTU 1024^2, f32)",
         "value": zups,
         "unit": "zones/s",
@@ -727,7 +732,34 @@ def main():
             "size-independent); the numba-compiled reference would be "
             "materially faster",
         **extras,
-    }))
+    }
+
+    # the full record goes to a file (and stderr); stdout gets ONE
+    # compact JSON line small enough to survive the driver's 2000-char
+    # stdout tail capture (r04's full dict overflowed it -> parsed:null)
+    here = os.path.dirname(os.path.realpath(__file__))
+    with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as fh:
+        json.dump(detail, fh, indent=1)
+    _log("full record -> BENCH_DETAIL.json")
+    _log(json.dumps(detail))
+
+    fams = extras.get("families", {})
+    compact = {
+        "metric": detail["metric"],
+        "value": round(zups, 1),
+        "unit": "zones/s",
+        "vs_baseline": round(vs_baseline, 2),
+        "ms_per_step": round(ms_step, 4),
+        "family_zups": {k: v.get("zups", v.get("error", "?"))
+                        for k, v in fams.items()},
+        "mg_fused_ms_512": detail.get("mg_vcycle_fused_ms_512"),
+        "detail": "BENCH_DETAIL.json",
+    }
+    line = json.dumps(compact)
+    if len(line) > 1800:  # stay inside the driver's tail window
+        compact.pop("family_zups", None)
+        line = json.dumps(compact)
+    print(line)
 
 
 if __name__ == "__main__":
