@@ -112,7 +112,8 @@ def _bench_advection(n):
         U, t = c
         return step(fill(U), t, dt), t + dt
 
-    ms = _slope_ms(_scan_chain(body), (U0, jnp.asarray(0.0, U0.dtype)))
+    ms = _slope_ms(_scan_chain(body), (U0, jnp.asarray(0.0, U0.dtype)),
+                   n1=64, n2=256)
     return ms, "jitted CTU step scan"
 
 
@@ -127,7 +128,7 @@ def _bench_burgers(n):
     def body(c):
         return step(c[0], c[1], dt)
 
-    ms = _slope_ms(_scan_chain(body), (u, v))
+    ms = _slope_ms(_scan_chain(body), (u, v), n1=32, n2=128)
     return ms, "jitted CTU step scan"
 
 
@@ -172,7 +173,11 @@ def _mol(cls_name, solver, n):
 
 def _bench_diffusion(n):
     from pyro2_tpu.parallel.sharded_diffusion import ShardedDiffusion
-    rp = _rp_for("diffusion", n)
+    rp = _rp_for("diffusion", n, {
+        "mesh.xlboundary": "neumann", "mesh.xrboundary": "neumann",
+        "mesh.ylboundary": "neumann", "mesh.yrboundary": "neumann",
+        "diffusion.k": 1.0, "gaussian.t_0": 0.0001,
+        "gaussian.phi_max": 2.0, "gaussian.phi_0": 1.0})
     sd = ShardedDiffusion(rp, _mesh1x1(), problem="gaussian")
     dt = float(sd.dt) if hasattr(sd, "dt") and sd.dt else None
     if not dt:
@@ -206,7 +211,8 @@ def _incomp(cls_name, solver, n, problem="shear"):
     cls = getattr(si, cls_name)
     rp = _rp_for(solver, n, {
         "mesh.xlboundary": "periodic", "mesh.xrboundary": "periodic",
-        "mesh.ylboundary": "periodic", "mesh.yrboundary": "periodic"})
+        "mesh.ylboundary": "periodic", "mesh.yrboundary": "periodic",
+        "shear.rho_s": 42.0, "shear.delta_s": 0.05})
     sv = cls(rp, _mesh1x1(), problem=problem)
     sv.preevolve()
     sv.method_compute_timestep()
@@ -240,7 +246,11 @@ def _bench_burgers_viscous(n):
 
 def _bench_lm_atm(n):
     from pyro2_tpu.parallel.sharded_lm_atm import ShardedLMAtm
-    rp = _rp_for("lm_atm", n)
+    rp = _rp_for("lm_atm", n, {
+        "mesh.xlboundary": "periodic", "mesh.xrboundary": "periodic",
+        "mesh.ylboundary": "reflect", "mesh.yrboundary": "outflow",
+        "bubble.x_pert": 0.5, "bubble.y_pert": 0.35,
+        "bubble.r_pert": 0.15, "bubble.scale_height": 1.0})
     sv = ShardedLMAtm(rp, _mesh1x1(), problem="bubble")
     sv.preevolve()
     sv.method_compute_timestep()
@@ -297,7 +307,7 @@ def bench_families(log=print):
                          "note": note}
             log(f"family {name:<24s} {n}^2: {ms:8.3f} ms/step "
                 f"({n * n / ms * 1e3:.3e} zups)  [{time.time() - t0:.0f}s]")
-        except Exception as e:
+        except (Exception, SystemExit) as e:
             out[name] = {"n": n, "error": f"{type(e).__name__}: {e}"}
             log(f"family {name} FAILED: {type(e).__name__}: {e}")
     return out

@@ -57,7 +57,9 @@ class Simulation(NullSimulation):
         self._contract_step = stack_step
         self._dt_fn = jax.jit(dt_fn)
 
-    def _build_step(self):
+    def _build_step(self, fill_ghosts=True):
+        """fill_ghosts=False skips the entry ghost fill (the sharded
+        wrapper exchanges halos itself, parallel/sharded_hyperbolic.py)."""
         g = self.cc_data.grid
         bc = self.cc_data.BCs["density"]
         u = self.rp.get_param("advection.u")
@@ -75,7 +77,8 @@ class Simulation(NullSimulation):
                     (yi >= g.jlo) & (yi <= g.jhi))
 
         def step(a, dt):
-            a = fill_ghost(a, g, bc)
+            if fill_ghosts:
+                a = fill_ghost(a, g, bc)
             flux_x, flux_y = flx.unsplit_fluxes(a, g, u, v, limiter, dt)
             fx = ai(flux_x, g)
             fy = ai(flux_y, g)

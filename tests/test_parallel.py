@@ -851,6 +851,52 @@ class TestShardedGeneralMG:
         assert np.max(np.abs(sols[True] - sols[False])) < 1e-11 * scale
 
 
+class TestShardedScalarFamilies:
+    """The scalar hyperbolic families (advection, burgers) behind the
+    generic per-variable halo exchange (parallel/sharded_hyperbolic.py):
+    one sharded step must be BITWISE the serial step's interior."""
+
+    @pytest.mark.parametrize("solver,problem,cls_name", [
+        ("advection", "smooth", "ShardedAdvection"),
+        ("burgers", "test", "ShardedBurgers"),
+    ])
+    def test_partition_invariance(self, solver, problem, cls_name):
+        import importlib
+
+        from pyro2_tpu.parallel import sharded_hyperbolic
+
+        def rp_for(n):
+            rp = RuntimeParameters()
+            rp.load_params("pyro2_tpu/_defaults")
+            rp.load_params(f"pyro2_tpu/solvers/{solver}/_defaults")
+            for k, v in {"mesh.nx": n, "mesh.ny": n,
+                         "mesh.xlboundary": "periodic",
+                         "mesh.xrboundary": "periodic",
+                         "mesh.ylboundary": "periodic",
+                         "mesh.yrboundary": "periodic",
+                         "driver.verbose": 0, "vis.dovis": 0,
+                         "io.do_io": 0}.items():
+                rp.set_param(k, v, no_new=False)
+            return rp
+
+        N = 32
+        mesh = make_mesh(shape=(2, 4))
+        cls = getattr(sharded_hyperbolic, cls_name)
+        sh = cls(rp_for(N), mesh, problem=problem)
+        U1 = sh.step(sh.init_interior(), 0.0, 1e-3)
+
+        mod = importlib.import_module(f"pyro2_tpu.solvers.{solver}")
+        pmod = importlib.import_module(
+            f"pyro2_tpu.solvers.{solver}.problems.{problem}")
+        ser = mod.Simulation(solver, problem, pmod.init_data, rp_for(N))
+        ser.initialize()
+        ser.dt = 1e-3
+        ser.evolve()
+        g = ser.cc_data.grid
+        Us = ser.cc_data.data[:, g.ilo:g.ihi + 1, g.jlo:g.jhi + 1]
+        assert bool(jnp.all(U1 == Us))
+
+
 class TestEnsemble:
     """Ensemble (vmap) parallelism: a batch of problems stepped together
     must match each problem stepped alone (to f64 roundoff; jit-of-vmap
