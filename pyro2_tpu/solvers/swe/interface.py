@@ -4,11 +4,16 @@ Re-design of /root/reference/pyro/swe/interface.py (numba): the 3x3
 eigen-system of the SWE primitive Jacobian unrolls analytically; the Roe
 solver (with entropy fix) and HLLC become jnp.where ladders over whole
 interface arrays.
+
+Everything is scatter-free (row-list rebuilds + indexer.embed instead of
+.at[] updates) so the SAME code runs inside the fused Pallas row-band
+kernel (swe/pallas_step.py) under indexer.full_frame(), exactly like the
+compressible pipeline.
 """
 
 import jax.numpy as jnp
 
-from pyro2_tpu.mesh.indexer import ai
+from pyro2_tpu.mesh.indexer import ai, embed
 
 __all__ = ["states", "riemann_roe", "riemann_hllc", "consFlux"]
 
@@ -74,57 +79,63 @@ def states(idir, g, dx, dt, ivars, grav, qv, dqv):
         (iu if idir == 1 else iv): (bl2 - bl0, br2 - br0, cs),
         (iv if idir == 1 else iu): (bl1, br1, 1.0),
     }
+    rows_l = [q_l_win[m] for m in range(ivars.nq)]
+    rows_r = [q_r_win[m] for m in range(ivars.nq)]
     for m, (cl, cr, scale) in corr.items():
-        q_l_win = q_l_win.at[m].add(scale * cl)
-        q_r_win = q_r_win.at[m].add(scale * cr)
+        rows_l[m] = rows_l[m] + scale * cl
+        rows_r[m] = rows_r[m] + scale * cr
 
     for n in range(ivars.ix, ivars.ix + nspec):
         bls, brs = beta_pair(un, dq[n])
-        q_l_win = q_l_win.at[n].add(bls)
-        q_r_win = q_r_win.at[n].add(brs)
+        rows_l[n] = rows_l[n] + bls
+        rows_r[n] = rows_r[n] + brs
+    q_l_win = jnp.stack(rows_l)
+    q_r_win = jnp.stack(rows_r)
 
-    q_l = jnp.zeros_like(qv)
-    q_r = jnp.zeros_like(qv)
     ish, jsh = (1, 0) if idir == 1 else (0, 1)
-    q_l = q_l.at[:, g.ilo - b + ish:g.ihi + 1 + b + ish,
-                 g.jlo - b + jsh:g.jhi + 1 + b + jsh].set(q_l_win)
-    q_r = q_r.at[:, g.ilo - b:g.ihi + 1 + b,
-                 g.jlo - b:g.jhi + 1 + b].set(q_r_win)
+    q_l = embed(q_l_win, g, buf=b, ishift=ish, jshift=jsh)
+    q_r = embed(q_r_win, g, buf=b)
     return q_l, q_r
 
 
 def _wslice(g, b=1):
+    from pyro2_tpu.mesh import indexer
+    if indexer.is_full_frame():
+        return (slice(None), slice(None), slice(None))
     return (slice(None), slice(g.ilo - b, g.ihi + 2),
             slice(g.jlo - b, g.jhi + 2))
 
 
 def _consFlux_win(idir, grav, ivars, U):
-    """SWE analytic flux of a window stack."""
+    """SWE analytic flux of a window stack (scatter-free rebuild)."""
     h = U[ivars.ih]
     u = U[ivars.ixmom] / h
     v = U[ivars.iymom] / h
-    F = jnp.zeros_like(U)
     vel = u if idir == 1 else v
-    F = F.at[ivars.ih].set(h * vel)
-    F = F.at[ivars.ixmom].set(U[ivars.ixmom] * vel)
-    F = F.at[ivars.iymom].set(U[ivars.iymom] * vel)
+    rows = [None] * ivars.nvar
+    rows[ivars.ih] = h * vel
+    rows[ivars.ixmom] = U[ivars.ixmom] * vel
+    rows[ivars.iymom] = U[ivars.iymom] * vel
     if idir == 1:
-        F = F.at[ivars.ixmom].add(0.5 * grav * h ** 2)
+        rows[ivars.ixmom] = rows[ivars.ixmom] + 0.5 * grav * h ** 2
     else:
-        F = F.at[ivars.iymom].add(0.5 * grav * h ** 2)
+        rows[ivars.iymom] = rows[ivars.iymom] + 0.5 * grav * h ** 2
     for n in range(ivars.ihx, ivars.ihx + ivars.naux):
-        F = F.at[n].set(U[n] * vel)
-    return F
+        rows[n] = U[n] * vel
+    return jnp.stack(rows)
 
 
 def consFlux(idir, grav, ivars, U_state):
     """SWE analytic flux of a full stack (guarding h == 0 zones)."""
     h = U_state[ivars.ih]
     safe = jnp.where(h != 0.0, h, 1.0)
-    U = U_state.at[ivars.ih].set(safe)
-    F = _consFlux_win(idir, grav, ivars, U)
+    rows = [U_state[n] for n in range(ivars.nvar)]
+    rows[ivars.ih] = safe
+    F = _consFlux_win(idir, grav, ivars, jnp.stack(rows))
     F = jnp.where(h[None] != 0.0, F, 0.0)
-    return F.at[ivars.ih].set(jnp.where(h != 0.0, F[ivars.ih], 0.0))
+    rows = [F[n] for n in range(ivars.nvar)]
+    rows[ivars.ih] = jnp.where(h != 0.0, F[ivars.ih], 0.0)
+    return jnp.stack(rows)
 
 
 def riemann_roe(idir, g, ivars, lower_solid, upper_solid, grav, U_l, U_r):
@@ -153,11 +164,15 @@ def riemann_roe(idir, g, ivars, lower_solid, upper_solid, grav, U_l, U_r):
     sq_l = jnp.sqrt(h_l)
     sq_r = jnp.sqrt(h_r)
     U_roe = (Ul / sq_l[None] + Ur / sq_r[None]) / (sq_l + sq_r)[None]
-    U_roe = U_roe.at[ivars.ih].set(jnp.sqrt(h_l * h_r))
+    rows = [U_roe[n] for n in range(ivars.nvar)]
+    rows[ivars.ih] = jnp.sqrt(h_l * h_r)
+    U_roe = jnp.stack(rows)
     c_roe = jnp.sqrt(0.5 * (c_l ** 2 + c_r ** 2))
 
     delta = Ur / h_r[None] - Ul / h_l[None]
-    delta = delta.at[ivars.ih].set(h_r - h_l)
+    rows = [delta[n] for n in range(ivars.nvar)]
+    rows[ivars.ih] = h_r - h_l
+    delta = jnp.stack(rows)
 
     un_roe = U_roe[iun]
     h_roe = U_roe[ivars.ih]
@@ -190,23 +205,26 @@ def riemann_roe(idir, g, ivars, lower_solid, upper_solid, grav, U_l, U_r):
     ut_roe = U_roe[iut]
 
     def K_contrib(alpha, lam, comp_h, comp_un, comp_ut):
-        contrib = jnp.zeros_like(F_w)
         term = 0.5 * alpha * jnp.abs(lam)
-        contrib = contrib.at[ivars.ih].set(term * comp_h)
-        contrib = contrib.at[iun].set(term * comp_un)
-        contrib = contrib.at[iut].set(term * comp_ut)
-        return contrib
+        zero = jnp.zeros_like(term)
+        rows = [zero] * ivars.nvar
+        rows[ivars.ih] = term * comp_h
+        rows[iun] = term * comp_un
+        rows[iut] = term * comp_ut
+        return jnp.stack(rows)
 
     F_w = F_w - K_contrib(alpha0, lam0, 1.0, un_roe - c_roe, ut_roe)
     F_w = F_w - K_contrib(alpha1, lam1, 0.0, 0.0, 1.0)
     F_w = F_w - K_contrib(alpha2, lam2, 1.0, un_roe + c_roe, ut_roe)
 
     # species ride at un_roe with alpha = h_roe * delta
-    for n in range(ivars.ihx, ivars.ihx + ivars.naux):
-        F_w = F_w.at[n].add(-0.5 * h_roe * delta[n] * jnp.abs(lam1))
+    if ivars.naux > 0:
+        rows = [F_w[n] for n in range(ivars.nvar)]
+        for n in range(ivars.ihx, ivars.ihx + ivars.naux):
+            rows[n] = rows[n] + (-0.5 * h_roe * delta[n] * jnp.abs(lam1))
+        F_w = jnp.stack(rows)
 
-    F = jnp.zeros_like(U_l)
-    return F.at[w].set(F_w)
+    return embed(F_w, g, 1)
 
 
 def riemann_hllc(idir, g, ivars, lower_solid, upper_solid, grav, U_l, U_r):
@@ -247,13 +265,13 @@ def riemann_hllc(idir, g, ivars, lower_solid, upper_solid, grav, U_l, U_r):
 
     def star_state(U, h, un, ut, S):
         fac = h * (S - un) / (S - S_c)
-        Us = jnp.zeros_like(U)
-        Us = Us.at[ivars.ih].set(fac)
-        Us = Us.at[iun].set(fac * S_c)
-        Us = Us.at[iut].set(fac * ut)
+        rows = [None] * ivars.nvar
+        rows[ivars.ih] = fac
+        rows[iun] = fac * S_c
+        rows[iut] = fac * ut
         for n in range(ivars.ihx, ivars.ihx + ivars.naux):
-            Us = Us.at[n].set(fac * U[n] / h)
-        return Us
+            rows[n] = fac * U[n] / h
+        return jnp.stack(rows)
 
     F_star_r = F_r + S_r[None] * (star_state(Ur, h_r, un_r, ut_r, S_r) - Ur)
     F_star_l = F_l + S_l[None] * (star_state(Ul, h_l, un_l, ut_l, S_l) - Ul)
@@ -264,5 +282,4 @@ def riemann_hllc(idir, g, ivars, lower_solid, upper_solid, grav, U_l, U_r):
                               jnp.where((Sl_b < 0.0) & (Sc_b > 0.0),
                                         F_star_l, F_l)))
 
-    F = jnp.zeros_like(U_l)
-    return F.at[w].set(F_w)
+    return embed(F_w, g, 1)

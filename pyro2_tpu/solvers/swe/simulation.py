@@ -35,29 +35,32 @@ class Variables:
 
 
 def cons_to_prim(U, ivars, myg):
-    """(h, hu, hv[, hX]) -> (h, u, v[, X])."""
-    q = jnp.zeros((ivars.nq,) + U.shape[1:], dtype=U.dtype)
+    """(h, hu, hv[, hX]) -> (h, u, v[, X]).
+
+    Row-list rebuild (scatter-free) so the identical code runs inside
+    the fused Pallas band kernel (Mosaic cannot lower .at[i].set)."""
     h = U[ivars.ih]
     safe = jnp.where(h != 0.0, h, 1.0)
-    q = q.at[ivars.ih].set(h)
-    q = q.at[ivars.iu].set(jnp.where(h != 0.0, U[ivars.ixmom] / safe, 0.0))
-    q = q.at[ivars.iv].set(jnp.where(h != 0.0, U[ivars.iymom] / safe, 0.0))
+    rows = [None] * ivars.nq
+    rows[ivars.ih] = h
+    rows[ivars.iu] = jnp.where(h != 0.0, U[ivars.ixmom] / safe, 0.0)
+    rows[ivars.iv] = jnp.where(h != 0.0, U[ivars.iymom] / safe, 0.0)
     for nq_i, nu_i in zip(range(ivars.ix, ivars.ix + ivars.naux),
                           range(ivars.ihx, ivars.ihx + ivars.naux)):
-        q = q.at[nq_i].set(jnp.where(h != 0.0, U[nu_i] / safe, 0.0))
-    return q
+        rows[nq_i] = jnp.where(h != 0.0, U[nu_i] / safe, 0.0)
+    return jnp.stack(rows)
 
 
 def prim_to_cons(q, ivars, myg):
-    """(h, u, v[, X]) -> (h, hu, hv[, hX])."""
-    U = jnp.zeros((ivars.nvar,) + q.shape[1:], dtype=q.dtype)
-    U = U.at[ivars.ih].set(q[ivars.ih])
-    U = U.at[ivars.ixmom].set(q[ivars.iu] * q[ivars.ih])
-    U = U.at[ivars.iymom].set(q[ivars.iv] * q[ivars.ih])
+    """(h, u, v[, X]) -> (h, hu, hv[, hX]); scatter-free."""
+    rows = [None] * ivars.nvar
+    rows[ivars.ih] = q[ivars.ih]
+    rows[ivars.ixmom] = q[ivars.iu] * q[ivars.ih]
+    rows[ivars.iymom] = q[ivars.iv] * q[ivars.ih]
     for nq_i, nu_i in zip(range(ivars.ix, ivars.ix + ivars.naux),
                           range(ivars.ihx, ivars.ihx + ivars.naux)):
-        U = U.at[nu_i].set(q[nq_i] * q[ivars.ih])
-    return U
+        rows[nu_i] = q[nq_i] * q[ivars.ih]
+    return jnp.stack(rows)
 
 
 class Simulation(NullSimulation):
@@ -108,6 +111,44 @@ class Simulation(NullSimulation):
 
         self._step = jax.jit(self._make_step())
         self._dt_fn = jax.jit(self._make_dt())
+
+        # on TPU, eligible configurations route evolve through the fused
+        # Pallas swe kernel transparently (the compressible auto-routing
+        # pattern, simulation.py there); the jnp step stays the
+        # reference implementation and the fallback
+        if (jax.default_backend() == "tpu" and
+                type(self)._make_step is Simulation._make_step):
+            from pyro2_tpu.solvers.swe.pallas_step import IneligibleStep
+            try:
+                self._step = self._make_fused_step()
+            except IneligibleStep as e:
+                if self.verbose > 0:
+                    print(f"fused swe kernel ineligible ({e}); "
+                          "using the jnp step")
+            except Exception as e:
+                print(f"WARNING: fused swe kernel build failed "
+                      f"({type(e).__name__}: {e}); using the jnp step")
+
+    def _make_fused_step(self):
+        """An evolve-contract step(U, t, dt) backed by the fused Pallas
+        row-band kernel: identical interior to the jnp step (bitwise,
+        tests/test_pallas_tpu.py), ghost zones carried through unchanged."""
+        from pyro2_tpu.solvers.swe.pallas_step import \
+            make_pallas_swe_step_padded
+        to_p, from_p, _fill_p, step_p = make_pallas_swe_step_padded(self)
+        myg = self.cc_data.grid
+        ng = myg.ng
+        sl = (slice(None), slice(myg.ilo, myg.ihi + 1),
+              slice(myg.jlo, myg.jhi + 1))
+
+        @jax.jit
+        def step(U, t, dt):
+            P = step_p(to_p(U), jnp.asarray(t, jnp.float32),
+                       jnp.asarray(dt, jnp.float32))
+            U_new = from_p(P)[:, ng:-ng, ng:-ng]
+            return U.at[sl].set(U_new.astype(U.dtype))
+
+        return step
 
     def _make_dt(self):
         myg = self.cc_data.grid

@@ -59,21 +59,23 @@ def unsplit_fluxes(U, my_data, rp, ivars, solid, tc, dt):
     F_x = riemannFunc(1, myg, ivars, solid.xl, solid.xr, grav, U_xl, U_xr)
     F_y = riemannFunc(2, myg, ivars, solid.yl, solid.yr, grav, U_yl, U_yr)
 
-    # apply transverse corrections to the interface states
+    # apply transverse corrections to the interface states (embed form:
+    # scatter-free, so the identical code runs inside the fused kernel)
+    from pyro2_tpu.mesh.indexer import embed
     b = (2, 1)
     Fx = ai(F_x, myg)
     Fy = ai(F_y, myg)
     dtdx = dt / myg.dx
     dtdy = dt / myg.dy
-    sl = (slice(None),
-          slice(myg.ilo - 2, myg.ihi + 2), slice(myg.jlo - 2, myg.jhi + 2))
 
-    U_xl = U_xl.at[sl].add(-0.5 * dtdy * (Fy.ip_jp(-1, 1, buf=b) -
-                                          Fy.ip(-1, buf=b)))
-    U_xr = U_xr.at[sl].add(-0.5 * dtdy * (Fy.jp(1, buf=b) - Fy.v(buf=b)))
-    U_yl = U_yl.at[sl].add(-0.5 * dtdx * (Fx.ip_jp(1, -1, buf=b) -
-                                          Fx.jp(-1, buf=b)))
-    U_yr = U_yr.at[sl].add(-0.5 * dtdx * (Fx.ip(1, buf=b) - Fx.v(buf=b)))
+    U_xl = U_xl + embed(-0.5 * dtdy * (Fy.ip_jp(-1, 1, buf=b) -
+                                       Fy.ip(-1, buf=b)), myg, b)
+    U_xr = U_xr + embed(-0.5 * dtdy * (Fy.jp(1, buf=b) - Fy.v(buf=b)),
+                        myg, b)
+    U_yl = U_yl + embed(-0.5 * dtdx * (Fx.ip_jp(1, -1, buf=b) -
+                                       Fx.jp(-1, buf=b)), myg, b)
+    U_yr = U_yr + embed(-0.5 * dtdx * (Fx.ip(1, buf=b) - Fx.v(buf=b)),
+                        myg, b)
 
     # second pass: the final normal fluxes
     F_x = riemannFunc(1, myg, ivars, solid.xl, solid.xr, grav, U_xl, U_xr)

@@ -277,3 +277,59 @@ def test_fused_coefficient_mg_vs_jnp(flavor):
     scale = float(jnp.max(jnp.abs(vj)))
     assert float(jnp.max(jnp.abs(vf - vj))) < 1e-6 * max(1.0, scale)
     assert abs(float(nf) - float(nj)) < 1e-4 * max(1.0, float(nj))
+
+
+@pytest.mark.parametrize("problem,overrides", [
+    ("dam", {"swe.riemann": "Roe"}),
+    ("quad", {"swe.riemann": "HLLC"}),
+])
+def test_swe_kernel_bitwise_vs_jnp(problem, overrides):
+    """The fused swe band kernel (swe/pallas_step.py) must be BITWISE
+    the jnp swe step on the interior, for both Riemann solvers."""
+    from pyro2_tpu import Pyro
+    from pyro2_tpu.solvers.swe.pallas_step import \
+        make_pallas_swe_step_padded
+
+    p = Pyro("swe")
+    p.initialize_problem(problem, inputs_dict={
+        "mesh.nx": 64, "mesh.ny": 64, **overrides,
+        "driver.verbose": 0, "vis.dovis": 0, "io.do_io": 0})
+    sim = p.sim
+    sim.cc_data.fill_BC_all()
+    U0 = sim.cc_data.data.astype(jnp.float32)
+    dt = jnp.asarray(5e-4, jnp.float32)
+    to_p, from_p, fill, step_p = make_pallas_swe_step_padded(sim)
+    ng = sim.cc_data.grid.ng
+    U_fused = from_p(step_p(to_p(U0), 0.0, dt))[:, ng:-ng, ng:-ng]
+    U_jnp = jax.jit(sim._make_step())(U0, 0.0, dt)[:, ng:-ng, ng:-ng]
+    if problem == "dam":
+        # Roe path is bitwise
+        assert bool(jnp.all(U_fused == U_jnp))
+    else:
+        # HLLC: Mosaic contracts an FMA differently from XLA in one
+        # branch -- measured <= 1 ulp on 2 of 16384 cells (quad 64^2)
+        scale = float(jnp.max(jnp.abs(U_jnp)))
+        assert float(jnp.max(jnp.abs(U_fused - U_jnp))) <= 1e-8 * scale
+
+
+def test_swe_production_step_auto_fused():
+    """swe Simulation.initialize wires evolve through the fused kernel
+    on TPU; the wired step matches the jnp step bitwise on the interior
+    and preserves ghost zones."""
+    from pyro2_tpu import Pyro
+
+    p = Pyro("swe")
+    p.initialize_problem("dam", inputs_dict={
+        "mesh.nx": 64, "mesh.ny": 64,
+        "driver.verbose": 0, "vis.dovis": 0, "io.do_io": 0})
+    sim = p.sim
+    assert sim._step.__wrapped__.__name__ == "step"
+    sim.cc_data.fill_BC_all()
+    U0 = sim.cc_data.data.astype(jnp.float32)
+    dt = jnp.asarray(5e-4, jnp.float32)
+    U_fused = sim._step(U0, 0.0, dt)
+    U_jnp = jax.jit(sim._make_step())(U0, 0.0, dt)
+    ng = sim.cc_data.grid.ng
+    assert bool(jnp.all(U_fused[:, ng:-ng, ng:-ng] ==
+                        U_jnp[:, ng:-ng, ng:-ng]))
+    assert bool(jnp.all(U_fused[:, :ng, :] == U0[:, :ng, :]))
