@@ -8,8 +8,8 @@ through a +1 shift.  Region masks reproduce the reference's loop ranges
 exactly (cells outside them are zero), so downstream windowed reads agree.
 """
 
+import jax
 import jax.numpy as jnp
-import numpy as np
 
 __all__ = ["states", "states_nolimit"]
 
@@ -20,16 +20,15 @@ C3 = 0.1
 def _region_mask(g, axis, lo_off, hi_off, t_lo_off, t_hi_off):
     """Boolean mask for the index box [ilo+lo_off, ihi+hi_off] along
     `axis` and [lo+t_lo_off, hi+t_hi_off] transverse (offsets measured
-    from the inclusive interior bounds)."""
-    ii = np.arange(g.qx)[:, None]
-    jj = np.arange(g.qy)[None, :]
+    from the inclusive interior bounds).  Built from iotas (not captured
+    numpy constants) so the same code lowers inside Pallas kernels."""
+    ii = jax.lax.broadcasted_iota(jnp.int32, (g.qx, g.qy), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (g.qx, g.qy), 1)
     if axis == 0:
-        m = ((ii >= g.ilo + lo_off) & (ii <= g.ihi + hi_off) &
-             (jj >= g.jlo + t_lo_off) & (jj <= g.jhi + t_hi_off))
-    else:
-        m = ((jj >= g.jlo + lo_off) & (jj <= g.jhi + hi_off) &
-             (ii >= g.ilo + t_lo_off) & (ii <= g.ihi + t_hi_off))
-    return jnp.asarray(np.broadcast_to(m, (g.qx, g.qy)))
+        return ((ii >= g.ilo + lo_off) & (ii <= g.ihi + hi_off) &
+                (jj >= g.jlo + t_lo_off) & (jj <= g.jhi + t_hi_off))
+    return ((jj >= g.jlo + lo_off) & (jj <= g.jhi + hi_off) &
+            (ii >= g.ilo + t_lo_off) & (ii <= g.ihi + t_hi_off))
 
 
 def _sgn(x):
@@ -129,9 +128,12 @@ def states(a, g, idir):
     al_cell = jnp.where(extrema, jnp.where(dolim, al_lim, al_up), al_ne)
 
     ar = jnp.where(m_W, ar_cell, ar)
-    # al[i+1] <- al_cell[i]: shift the cell values (and the mask) up by one
-    al = jnp.where(jnp.roll(m_W, 1, axis=axis),
-                   jnp.roll(al_cell, 1, axis=axis), al)
+    # al[i+1] <- al_cell[i]: shift the cell values up by one.  The
+    # shifted mask is built directly from iotas (the +1-rolled box)
+    # rather than rolling the bool array -- Mosaic cannot lower i1
+    # vector rolls (bitcast failure)
+    m_W_up = _region_mask(g, axis, 0, 2, -1, 1)
+    al = jnp.where(m_W_up, jnp.roll(al_cell, 1, axis=axis), al)
 
     return al, ar
 

@@ -6,7 +6,7 @@ averages and centers differ by dx^2/24 times the Laplacian.  Assumes dx == dy.
 
 import jax.numpy as jnp
 
-from pyro2_tpu.mesh.indexer import ai
+from pyro2_tpu.mesh.indexer import ai, embed_into
 from pyro2_tpu.mesh.patch import CellCenterData2d
 
 __all__ = ["FV2d", "to_centers_array", "from_centers_array"]
@@ -18,16 +18,15 @@ def to_centers_array(a, g, is_positive=False):
     The buf=ng-1 window is converted; the outermost ghost ring is copied
     through unchanged (it has no Laplacian stencil).  With is_positive, cells
     whose converted value goes negative fall back to the average
-    (reference fv.py:27-29).
+    (reference fv.py:27-29).  Scatter-free (embed_into) so the identical
+    code runs inside the fused Pallas band kernels.
     """
     av = ai(a, g)
     ng = g.ng
     cv = av.v(buf=ng - 1) - g.dx ** 2 * av.lap(buf=ng - 1) / 24.0
     if is_positive:
         cv = jnp.where(cv >= 0.0, cv, av.v(buf=ng - 1))
-    c = a
-    return c.at[..., g.ilo - (ng - 1):g.ihi + ng,
-                g.jlo - (ng - 1):g.jhi + ng].set(cv)
+    return embed_into(cv, g, a, buf=ng - 1)
 
 
 def from_centers_array(a, g):
@@ -37,7 +36,7 @@ def from_centers_array(a, g):
     """
     av = ai(a, g)
     vv = av.v() + g.dx ** 2 * av.lap() / 24.0
-    return a.at[..., g.ilo:g.ihi + 1, g.jlo:g.jhi + 1].set(vv)
+    return embed_into(vv, g, a)
 
 
 class FV2d(CellCenterData2d):

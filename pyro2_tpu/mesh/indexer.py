@@ -15,7 +15,8 @@ cells get identical values.
 import jax
 import jax.numpy as jnp
 
-__all__ = ["ai", "aifc", "aic", "fill_ghost", "fill_ghost_fc", "embed"]
+__all__ = ["ai", "aifc", "aic", "fill_ghost", "fill_ghost_fc", "embed",
+           "embed_into"]
 
 
 class aic:
@@ -123,6 +124,31 @@ def embed(vals, g, buf=0, ishift=0, jshift=0, *, like=None):
         [(lo_x, g.qx - hi_x_last - 1, 0),
          (lo_y, g.qy - hi_y_last - 1, 0)]
     return jax.lax.pad(vals, jnp.asarray(0.0, vals.dtype), pads)
+
+
+def embed_into(vals, g, like, buf=0, ishift=0, jshift=0):
+    """like.at[window].set(vals) in scatter-free form.
+
+    The windowed twin of `embed` that preserves `like` outside the
+    window instead of zeroing it; compiles to pad+select (windowed mode)
+    or roll+select (full-frame mode), both of which Mosaic lowers."""
+    bxlo, bxhi, bylo, byhi = _buf_split(buf)
+    lo_x = g.ilo - bxlo + ishift
+    lo_y = g.jlo - bylo + jshift
+    hi_x_last = g.ihi + bxhi + ishift
+    hi_y_last = g.jhi + byhi + jshift
+    xi = jax.lax.broadcasted_iota(jnp.int32, (g.qx, g.qy), 0)
+    yi = jax.lax.broadcasted_iota(jnp.int32, (g.qx, g.qy), 1)
+    m = ((xi >= lo_x) & (xi <= hi_x_last) &
+         (yi >= lo_y) & (yi <= hi_y_last))
+    if _FULL_FRAME:
+        out = _roll2(vals, ishift, jshift)
+    else:
+        pads = [(0, 0, 0)] * (vals.ndim - 2) + \
+            [(lo_x, g.qx - hi_x_last - 1, 0),
+             (lo_y, g.qy - hi_y_last - 1, 0)]
+        out = jax.lax.pad(vals, jnp.asarray(0.0, vals.dtype), pads)
+    return jnp.where(m, out, like)
 
 
 def _buf_split(b):

@@ -9,31 +9,31 @@ import jax.numpy as jnp
 
 from pyro2_tpu.mesh import fourth_order, reconstruction
 from pyro2_tpu.mesh.fv import to_centers_array
-from pyro2_tpu.mesh.indexer import ai
+from pyro2_tpu.mesh.indexer import ai, embed, embed_into
 from pyro2_tpu.solvers.compressible import riemann
 
 
 def flux_cons(ivars, idir, gamma, q):
-    """Analytic conserved flux from a primitive stack."""
+    """Analytic conserved flux from a primitive stack (scatter-free)."""
     un = q[ivars.iu] if idir == 1 else q[ivars.iv]
     rho = q[ivars.irho]
     p = q[ivars.ip]
 
-    F = jnp.zeros((ivars.nvar,) + q.shape[1:], dtype=q.dtype)
-    F = F.at[ivars.idens].set(rho * un)
+    rows = [None] * ivars.nvar
+    rows[ivars.idens] = rho * un
     if idir == 1:
-        F = F.at[ivars.ixmom].set(rho * q[ivars.iu] ** 2 + p)
-        F = F.at[ivars.iymom].set(rho * q[ivars.iv] * q[ivars.iu])
+        rows[ivars.ixmom] = rho * q[ivars.iu] ** 2 + p
+        rows[ivars.iymom] = rho * q[ivars.iv] * q[ivars.iu]
     else:
-        F = F.at[ivars.ixmom].set(rho * q[ivars.iu] * q[ivars.iv])
-        F = F.at[ivars.iymom].set(rho * q[ivars.iv] ** 2 + p)
-    F = F.at[ivars.iener].set(
+        rows[ivars.ixmom] = rho * q[ivars.iu] * q[ivars.iv]
+        rows[ivars.iymom] = rho * q[ivars.iv] ** 2 + p
+    rows[ivars.iener] = (
         (p / (gamma - 1.0) + 0.5 * rho * (q[ivars.iu] ** 2 +
                                           q[ivars.iv] ** 2) + p) * un)
     for nq_i, nu_i in zip(range(ivars.ix, ivars.ix + ivars.naux),
                           range(ivars.irhox, ivars.irhox + ivars.naux)):
-        F = F.at[nu_i].set(rho * q[nq_i] * un)
-    return F
+        rows[nu_i] = rho * q[nq_i] * un
+    return jnp.stack(rows)
 
 
 def fluxes(U_avg, myd, rp, ivars):
@@ -57,20 +57,21 @@ def fluxes(U_avg, myd, rp, ivars):
     q_cc = comp.cons_to_prim(U_cc, gamma, ivars, myg)
 
     # 4th-order cell-average primitive state, with positivity fallback
+    import jax
     qb = ai(q_bar, myg)
     b3 = 3
     q_avg_w = ai(q_cc, myg).v(buf=b3) + myg.dx ** 2 / 24.0 * qb.lap(buf=b3)
-    q_avg = jnp.zeros_like(q_bar)
-    q_avg = q_avg.at[:, myg.ilo - b3:myg.ihi + 1 + b3,
-                     myg.jlo - b3:myg.jhi + 1 + b3].set(q_avg_w)
+    q_avg = embed(q_avg_w, myg, b3)
+    xi3 = jax.lax.broadcasted_iota(jnp.int32, (myg.qx, myg.qy), 0)
+    yi3 = jax.lax.broadcasted_iota(jnp.int32, (myg.qx, myg.qy), 1)
+    m3 = ((xi3 >= myg.ilo - b3) & (xi3 <= myg.ihi + b3) &
+          (yi3 >= myg.jlo - b3) & (yi3 <= myg.jhi + b3))
+    rows = [q_avg[n] for n in range(ivars.nq)]
     for n in (ivars.irho, ivars.ip):
-        q_avg = q_avg.at[n].set(jnp.where(q_avg[n] > 0, q_avg[n],
-                                          q_cc[n]))
-        # restore zeros outside the computed window
-        m = jnp.zeros_like(q_avg[n], dtype=bool).at[
-            myg.ilo - b3:myg.ihi + 1 + b3,
-            myg.jlo - b3:myg.jhi + 1 + b3].set(True)
-        q_avg = q_avg.at[n].set(jnp.where(m, q_avg[n], 0.0))
+        fixed = jnp.where(rows[n] > 0, rows[n], q_cc[n])
+        # zeros outside the computed window, as before
+        rows[n] = jnp.where(m3, fixed, 0.0)
+    q_avg = jnp.stack(rows)
 
     use_flattening = rp.get_param("compressible.use_flattening")
     if use_flattening:
@@ -86,10 +87,10 @@ def fluxes(U_avg, myd, rp, ivars):
     out = {}
     for idir in (1, 2):
         # limited 4th-order face states per variable
-        q_l = jnp.stack([fourth_order.states(q_avg[n], myg, idir)[0]
-                         for n in range(ivars.nq)])
-        q_r = jnp.stack([fourth_order.states(q_avg[n], myg, idir)[1]
-                         for n in range(ivars.nq)])
+        pairs = [fourth_order.states(q_avg[n], myg, idir)
+                 for n in range(ivars.nq)]
+        q_l = jnp.stack([p[0] for p in pairs])
+        q_r = jnp.stack([p[1] for p in pairs])
 
         # blend toward the unlimited average by the flattening coefficient
         b = 2
@@ -101,10 +102,9 @@ def fluxes(U_avg, myd, rp, ivars):
                    (1.0 - xiv.v(buf=b))[None] * qa_v.v(buf=b))
         blend_r = (xiv.v(buf=b)[None] * qr_v.v(buf=b) +
                    (1.0 - xiv.v(buf=b))[None] * qa_v.v(buf=b))
-        q_l = q_l.at[:, myg.ilo - b + ish:myg.ihi + 1 + b + ish,
-                     myg.jlo - b + jsh:myg.jhi + 1 + b + jsh].set(blend_l)
-        q_r = q_r.at[:, myg.ilo - b:myg.ihi + 1 + b,
-                     myg.jlo - b:myg.jhi + 1 + b].set(blend_r)
+        q_l = embed_into(blend_l, myg, q_l, buf=b, ishift=ish,
+                         jshift=jsh)
+        q_r = embed_into(blend_r, myg, q_r, buf=b)
 
         # face-average interface state via the primitive Riemann solver
         q_int_avg = riemann.riemann_prim(idir, myg, ivars, 0, 0, gamma,
@@ -119,9 +119,7 @@ def fluxes(U_avg, myd, rp, ivars):
         else:
             fc_w = qia.v(buf=bf) - 1.0 / 24.0 * (
                 qia.ip(1, buf=bf) - 2 * qia.v(buf=bf) + qia.ip(-1, buf=bf))
-        q_int_fc = jnp.zeros_like(q_int_avg)
-        q_int_fc = q_int_fc.at[:, myg.ilo - bf:myg.ihi + 1 + bf,
-                               myg.jlo - bf:myg.jhi + 1 + bf].set(fc_w)
+        q_int_fc = embed(fc_w, myg, bf)
 
         # final face-average flux (MC Eqs. 33-34)
         F_fc = flux_cons(ivars, idir, gamma, q_int_fc)
@@ -135,9 +133,7 @@ def fluxes(U_avg, myd, rp, ivars):
         else:
             F_w = Ffc.v(buf=b1) + 1.0 / 24.0 * (
                 Fav.ip(1, buf=b1) - 2 * Fav.v(buf=b1) + Fav.ip(-1, buf=b1))
-        F = jnp.zeros((ivars.nvar,) + U_avg.shape[1:], dtype=U_avg.dtype)
-        F = F.at[:, myg.ilo - b1:myg.ihi + 1 + b1,
-                 myg.jlo - b1:myg.jhi + 1 + b1].set(F_w)
+        F = embed(F_w, myg, b1)
 
         # MC Eq. 35-36 artificial viscosity
         if idir == 1:
@@ -164,9 +160,7 @@ def fluxes(U_avg, myd, rp, ivars):
             dU = U_avg_v.v(buf=b1) - U_avg_v.ip(-1, buf=b1)
         else:
             dU = U_avg_v.v(buf=b1) - U_avg_v.jp(-1, buf=b1)
-        F = F.at[:, myg.ilo - b1:myg.ihi + 1 + b1,
-                 myg.jlo - b1:myg.jhi + 1 + b1].add(
-            alpha * nu_w[None] * dU)
+        F = F + embed(alpha * nu_w[None] * dU, myg, b1)
 
         out[idir] = F
 

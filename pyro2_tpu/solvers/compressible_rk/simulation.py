@@ -20,8 +20,32 @@ class Simulation(compressible.Simulation):
 
     def _substep_fn(self):
         if not hasattr(self, "_substep_jit"):
-            self._substep_jit = jax.jit(self._make_substep())
+            fn = None
+            if jax.default_backend() == "tpu":
+                # eligible configurations run the stage increment as the
+                # fused Pallas band kernel (fv4/sdc; the rk 2nd-order
+                # pipeline has no kernel tier yet) -- every evolve
+                # (host RK loop, SDC sweep) then routes through it
+                from pyro2_tpu.solvers.compressible.pallas_step import \
+                    IneligibleStep
+                try:
+                    fn = self._make_fused_substep()
+                except IneligibleStep as e:
+                    if self.verbose > 0:
+                        print(f"fused substep ineligible ({e}); "
+                              "using the jnp substep")
+                except Exception as e:
+                    print(f"WARNING: fused substep build failed "
+                          f"({type(e).__name__}: {e}); using the jnp "
+                          "substep")
+            self._substep_jit = fn or jax.jit(self._make_substep())
         return self._substep_jit
+
+    def _make_fused_substep(self):
+        from pyro2_tpu.solvers.compressible.pallas_step import \
+            IneligibleStep
+        raise IneligibleStep(
+            "no fused kernel for the 2nd-order MOL substep")
 
     def _make_substep(self):
         """The raw (unjitted) stage-increment closure; the sharded MOL

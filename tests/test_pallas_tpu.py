@@ -333,3 +333,30 @@ def test_swe_production_step_auto_fused():
     assert bool(jnp.all(U_fused[:, ng:-ng, ng:-ng] ==
                         U_jnp[:, ng:-ng, ng:-ng]))
     assert bool(jnp.all(U_fused[:, :ng, :] == U0[:, :ng, :]))
+
+
+def test_fv4_substep_bitwise_vs_jnp():
+    """The fused fv4 band kernel (compressible_fv4/pallas_step.py) must
+    match the jnp substep bitwise on the interior, and the production
+    _substep_fn must auto-route through it."""
+    from pyro2_tpu import Pyro
+
+    p = Pyro("compressible_fv4")
+    p.initialize_problem("acoustic_pulse", inputs_dict={
+        "mesh.nx": 64, "mesh.ny": 64,
+        "driver.verbose": 0, "vis.dovis": 0, "io.do_io": 0})
+    sim = p.sim
+    sim.preevolve()
+    sim.cc_data.fill_BC_all()
+    U0 = sim.cc_data.data.astype(jnp.float32)
+    dt = jnp.asarray(1e-3, jnp.float32)
+
+    fused = sim._substep_fn()     # auto-routed on TPU
+    k_f = fused(U0, 0.0, dt)
+    k_j = jax.jit(sim._make_substep())(U0, 0.0, dt)
+    assert bool(jnp.all(k_f == k_j))
+
+    # a full evolve through the fused substep runs and stays finite
+    sim.method_compute_timestep()
+    sim.evolve()
+    assert bool(jnp.all(jnp.isfinite(sim.cc_data.data)))
