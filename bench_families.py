@@ -254,23 +254,15 @@ def _bench_lm_atm(n):
     sv = ShardedLMAtm(rp, _mesh1x1(), problem="bubble")
     sv.preevolve()
     sv.method_compute_timestep()
+    dt = jnp.asarray(sv.dt)
+    step = sv._full_step()
 
-    def run(k):
-        for _ in range(k):
-            sv.evolve()
-        jax.block_until_ready(sv.U_int)
-        _ = float(jnp.asarray(sv.U_int).ravel()[0])
+    def body(U):
+        return step(U, dt)
 
-    run(3)  # warm
-    t0 = time.perf_counter()
-    run(5)
-    t1 = time.perf_counter()
-    run(15)
-    t2 = time.perf_counter()
-    ms = max(((t2 - t1) - (t1 - t0)) / 10, 1.e-9) * 1e3
-    return ms, ("host_composed: per-step vc-MG coefficient hierarchy "
-                "built on host (3 projections/step; includes tunnel "
-                "dispatch latency)")
+    ms = _slope_ms(_scan_chain(body), sv.U_int, n1=5, n2=20)
+    return ms, ("one-dispatch evolve: traced vc coefficient hierarchies "
+                "+ 3 projections (fused Pallas vc V-cycles) per step")
 
 
 FAMILIES = [
@@ -314,6 +306,9 @@ def bench_families(log=print):
 
 
 if __name__ == "__main__":
+    import functools
     import json
-    res = bench_families()
+    import sys
+    res = bench_families(log=functools.partial(print, file=sys.stderr,
+                                               flush=True))
     print(json.dumps(res, indent=1))

@@ -398,6 +398,50 @@ class ShardedMG:
         return self._block_layout(global_arr, level, geom["dpx"],
                                   geom["dpy"])
 
+    def _block_layout_traced(self, A, level, dpx=None, dpy=None):
+        """TRACED twin of _block_layout: identical values, but pure jnp
+        (concat + static-index gather + sharding constraint), so per-step
+        coefficient hierarchies (lm_atm's projections) can be built
+        inside jit instead of through numpy host round trips."""
+        lg = self.local_grids[level]
+        bx, by = lg.nx, lg.ny
+        if dpx is None:
+            dpx, dpy = self.ng, self.ng
+
+        def extend(A, dp, axis, periodic):
+            if dp <= 1:
+                return A
+            Ai = jnp.moveaxis(A, axis, 0)
+            n = Ai.shape[0] - 2
+            interior = Ai[1:-1]
+            if periodic:
+                ext = jnp.concatenate([interior[n - dp:], interior,
+                                       interior[:dp]])
+            else:
+                z = jnp.zeros((dp - 1,) + Ai.shape[1:], Ai.dtype)
+                ext = jnp.concatenate([z, Ai[:1], interior, Ai[-1:], z])
+            return jnp.moveaxis(ext, 0, axis)
+
+        qlx, qly = bx + 2 * dpx, by + 2 * dpy
+        A = extend(A, dpx, 0, self.bc.xlb == "periodic")
+        A = extend(A, dpy, 1, self.bc.ylb == "periodic")
+        # block (ix, iy) of the output holds the extended array's window
+        # starting at (ix*bx, iy*by): one static-index gather
+        ridx = np.concatenate([np.arange(ix * bx, ix * bx + qlx)
+                               for ix in range(self.px)])
+        cidx = np.concatenate([np.arange(iy * by, iy * by + qly)
+                               for iy in range(self.py)])
+        out = A[jnp.asarray(ridx)][:, jnp.asarray(cidx)]
+        return jax.lax.with_sharding_constraint(out, self._sharding)
+
+    def _coeff_layout_traced(self, arr, level):
+        """Traced twin of _coeff_layout."""
+        geom = self._deep_geom.get(level)
+        if geom is None:
+            return self._block_layout_traced(arr, level)
+        return self._block_layout_traced(arr, level, geom["dpx"],
+                                         geom["dpy"])
+
     def _ng1_view(self, local_params):
         """Standard ng=1 per-level views of (possibly deep) coefficient
         layouts, for the ops residual / sweep-mode smoother (the sliced
