@@ -21,7 +21,8 @@ from pyro2_tpu.mesh import reconstruction
 from pyro2_tpu.mesh.indexer import ai
 from pyro2_tpu.parallel.blocks import blockwise_init_interior
 from pyro2_tpu.parallel.mesh_comm import halo_exchange
-from pyro2_tpu.parallel.sharded_mg import _SUPPORTED_BCS, ShardedMG
+from pyro2_tpu.parallel.sharded_mg import (_SUPPORTED_BCS, ShardedMG,
+                                            make_sharded_mg)
 from pyro2_tpu.solvers.burgers import burgers_interface
 from pyro2_tpu.solvers.burgers_viscous import interface
 
@@ -85,7 +86,7 @@ class ShardedBurgersViscous:
         self.iv = self.names.index("y-velocity")
 
         bcu = self.bcs[self.iu]
-        self.smg = ShardedMG(
+        self.smg = make_sharded_mg(
             nx, ny, mesh, xmin=xmin, xmax=xmax, ymin=ymin, ymax=ymax,
             alpha=1.0, beta=1.0,
             xl_BC_type=bcu.xlb, xr_BC_type=bcu.xrb,

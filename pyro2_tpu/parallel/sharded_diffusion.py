@@ -16,7 +16,8 @@ from jax.sharding import PartitionSpec as P
 
 from pyro2_tpu.mesh.indexer import ai
 from pyro2_tpu.parallel.mesh_comm import halo_exchange
-from pyro2_tpu.parallel.sharded_mg import ShardedMG
+from pyro2_tpu.parallel.sharded_mg import (ShardedMG,
+                                            make_sharded_mg)
 
 __all__ = ["ShardedDiffusion"]
 
@@ -48,7 +49,7 @@ class ShardedDiffusion:
         self.py = int(mesh.devices.shape[1])
         self.bc = self.global_sim.cc_data.BCs["phi"]
 
-        self.smg = ShardedMG(
+        self.smg = make_sharded_mg(
             gg.nx, gg.ny, mesh,
             xmin=gg.xmin, xmax=gg.xmax, ymin=gg.ymin, ymax=gg.ymax,
             xl_BC_type=self.bc.xlb, xr_BC_type=self.bc.xrb,

@@ -31,7 +31,8 @@ from pyro2_tpu.mesh import reconstruction
 from pyro2_tpu.mesh.indexer import ai
 from pyro2_tpu.parallel.blocks import blockwise_init_interior
 from pyro2_tpu.parallel.mesh_comm import halo_exchange
-from pyro2_tpu.parallel.sharded_mg import _SUPPORTED_BCS, ShardedMG
+from pyro2_tpu.parallel.sharded_mg import (_SUPPORTED_BCS, ShardedMG,
+                                            make_sharded_mg)
 from pyro2_tpu.solvers.incompressible import incomp_interface
 
 __all__ = ["ShardedIncompressible", "ShardedIncompressibleViscous"]
@@ -116,13 +117,13 @@ class ShardedIncompressible:
         self.igy = self.names.index("gradp_y")
 
         phi_bc = cc.BCs["phi"]
-        self.smg = ShardedMG(
+        self.smg = make_sharded_mg(
             nx, ny, mesh, xmin=xmin, xmax=xmax, ymin=ymin, ymax=ymax,
             xl_BC_type=phi_bc.xlb, xr_BC_type=phi_bc.xrb,
             yl_BC_type=phi_bc.ylb, yr_BC_type=phi_bc.yrb)
         # the initial projection always uses periodic phi BCs (reference
         # incompressible/simulation.py:91-100)
-        self.smg_init = ShardedMG(
+        self.smg_init = make_sharded_mg(
             nx, ny, mesh, xmin=xmin, xmax=xmax, ymin=ymin, ymax=ymax,
             xl_BC_type="periodic", xr_BC_type="periodic",
             yl_BC_type="periodic", yr_BC_type="periodic")
@@ -409,12 +410,12 @@ class ShardedIncompressibleViscous(ShardedIncompressible):
         xmax = rp.get_param("mesh.xmax")
         ymin = rp.get_param("mesh.ymin")
         ymax = rp.get_param("mesh.ymax")
-        self.smg_u = ShardedMG(
+        self.smg_u = make_sharded_mg(
             self.nx, self.ny, self.mesh, xmin=xmin, xmax=xmax,
             ymin=ymin, ymax=ymax, alpha=1.0, beta=1.0,
             xl_BC_type=bcu.xlb, xr_BC_type=bcu.xrb,
             yl_BC_type=bcu.ylb, yr_BC_type=bcu.yrb)
-        self.smg_v = ShardedMG(
+        self.smg_v = make_sharded_mg(
             self.nx, self.ny, self.mesh, xmin=xmin, xmax=xmax,
             ymin=ymin, ymax=ymax, alpha=1.0, beta=1.0,
             xl_BC_type=bcv.xlb, xr_BC_type=bcv.xrb,

@@ -1096,6 +1096,19 @@ class ShardedMG:
         self.residual_error = residual_error
 
 
+def make_sharded_mg(*args, **kwargs):
+    """A ShardedMG with the fused Pallas kernels enabled on TPU when the
+    configuration supports them (transparent jnp-cycle construction
+    otherwise).  The solver tiers (diffusion, incompressible +/- viscous,
+    burgers_viscous) build their inline MG through this."""
+    if jax.default_backend() == "tpu" and "use_pallas" not in kwargs:
+        try:
+            return ShardedMG(*args, use_pallas=True, **kwargs)
+        except ValueError:
+            pass
+    return ShardedMG(*args, **kwargs)
+
+
 class ShardedVarCoeffMG(ShardedMG):
     """SPMD variable-coefficient multigrid: div(eta grad phi) = f.
 
