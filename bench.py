@@ -559,6 +559,111 @@ def bench_gravity_fused():
                 (per_p / per) if per_p else None}
 
 
+def bench_ensemble():
+    """Ensemble (vmap-tier) throughput: N acoustic-pulse problems through
+    the batched fused CTU kernel (grid axis = ensemble axis; the Pallas
+    ANY-memory DMA path cannot be vmapped).  SURVEY 2.9's batch
+    parallelism row -- no reference counterpart."""
+    import importlib
+
+    from pyro2_tpu.solvers import compressible
+    from pyro2_tpu.solvers.compressible.pallas_step import \
+        make_pallas_ctu_ensemble_step
+    from pyro2_tpu.util.runparams import RuntimeParameters
+
+    n = 256
+    home = os.path.join(os.path.dirname(os.path.realpath(__file__)),
+                        "pyro2_tpu")
+    rp = RuntimeParameters()
+    rp.load_params(os.path.join(home, "_defaults"))
+    rp.load_params(os.path.join(home, "solvers/compressible/_defaults"))
+    for k, v in {"mesh.nx": n, "mesh.ny": n,
+                 "mesh.xlboundary": "periodic",
+                 "mesh.xrboundary": "periodic",
+                 "mesh.ylboundary": "periodic",
+                 "mesh.yrboundary": "periodic",
+                 "compressible.small_dens": -1.e30,
+                 "driver.verbose": 0, "vis.dovis": 0, "io.do_io": 0}.items():
+        rp.set_param(k, v, no_new=False)
+    problem = importlib.import_module(
+        "pyro2_tpu.solvers.compressible.problems.acoustic_pulse")
+    for k, v in problem.PROBLEM_PARAMS.items():
+        if k not in rp.params:
+            rp.set_param(k, v, no_new=False)
+    sim = compressible.Simulation("compressible", "acoustic_pulse",
+                                  problem.init_data, rp)
+    sim.initialize()
+    sim.method_compute_timestep()
+    U0 = sim.cc_data.data.astype(jnp.float32)
+    dt = jnp.asarray(sim.dt, jnp.float32)
+    myg = sim.cc_data.grid
+
+    out = {}
+    ms1 = None
+    for n_ens in (1, 8):
+        toe, frome, fille, stepe = make_pallas_ctu_ensemble_step(
+            n_ens, n, n, myg.dx, myg.dy, rp.get_param("eos.gamma"),
+            rp.params, sim.ivars)
+        P0 = toe(jnp.stack([U0] * n_ens))
+
+        def chain(k):
+            def many(P):
+                def body(P, _):
+                    return stepe(fille(P), dt), None
+                P, _ = jax.lax.scan(body, P, None, length=k)
+                return P
+            return jax.jit(many)
+
+        ms = _time_slope(chain, 25, 100, P0)[0] * 1e3
+        out[f"ensemble_ms_per_step_n{n_ens}"] = ms
+        out[f"ensemble_zups_n{n_ens}"] = n_ens * n * n / ms * 1e3
+        if n_ens == 1:
+            ms1 = ms
+        _log(f"ensemble n={n_ens}: {ms:.3f} ms/step "
+             f"({n_ens * n * n / ms * 1e3:.3e} zups aggregate)")
+    out["ensemble_efficiency_n8"] = 8 * ms1 / out["ensemble_ms_per_step_n8"]
+    return out
+
+
+def bench_ctu_sizes(sim_small_rp):
+    """The fused-CTU zups-vs-size envelope (512^2 .. largest that fits
+    HBM), the single-chip anchor for the >HBM scaling story."""
+    from pyro2_tpu.solvers.compressible import pallas_step as ps
+
+    out = {}
+    for n in (512, 1024, 2048, 4096, 8192):
+        try:
+            sim, rp = _make_sim(n)
+            to_p, from_p, fill_p, step_p = ps.make_pallas_ctu_step_padded(
+                n, n, sim.cc_data.grid.dx, sim.cc_data.grid.dy,
+                rp.get_param("eos.gamma"), rp.params, sim.ivars,
+                tile_rows=128)
+            P0 = to_p(sim.cc_data.data.astype(jnp.float32))
+            dt = jnp.asarray(1e-4 * 1024 / n, jnp.float32)
+
+            def chain(k):
+                def many(P):
+                    def body(P, _):
+                        return step_p(fill_p(P), dt), None
+                    P, _ = jax.lax.scan(body, P, None, length=k)
+                    return P
+                return jax.jit(many)
+
+            n1, n2 = (25, 100) if n <= 2048 else (5, 20)
+            ms = _time_slope(chain, n1, n2, P0)[0] * 1e3
+            out[f"ctu_zups_{n}"] = n * n / ms * 1e3
+            _log(f"ctu {n}^2: {ms:.3f} ms/step "
+                 f"({n * n / ms * 1e3:.3e} zups)")
+            del P0
+        except Exception as e:
+            out["ctu_max_size_note"] = (
+                f"{n}^2 failed ({type(e).__name__}); largest measured "
+                "size above is the single-chip envelope")
+            _log(f"ctu {n}^2 failed: {type(e).__name__}: {str(e)[:120]}")
+            break
+    return out
+
+
 def bench_reference_advection():
     """Zone-updates/s of the reference's numpy advection CTU at N^2."""
     import types
@@ -688,6 +793,14 @@ def main():
         extras["families"] = bench_families(log=_log)
     except Exception as e:
         _log(f"family bench failed: {type(e).__name__}: {e}")
+    try:
+        extras.update(bench_ensemble())
+    except Exception as e:
+        _log(f"ensemble bench failed: {type(e).__name__}: {e}")
+    try:
+        extras.update(bench_ctu_sizes(rp))
+    except Exception as e:
+        _log(f"ctu size envelope failed: {type(e).__name__}: {e}")
 
     ref_zups = None
     try:

@@ -473,6 +473,103 @@ def make_pallas_ctu_step_padded(nx, ny, dx, dy, gamma, rp_params, ivars,
     return to_padded, from_padded, fill, step
 
 
+# -- ensemble (batch) stepping on the padded layout ---------------------------
+
+def make_pallas_ctu_ensemble_step(n_ens, nx, ny, dx, dy, gamma, rp_params,
+                                  ivars, tile_rows=128, interpret=False):
+    """Periodic-BC CTU stepping of an ENSEMBLE of n_ens same-shape
+    problems through the fused band kernel (SURVEY 2.9's batch
+    parallelism tier, which the reference lacks entirely).
+
+    The Pallas ANY-memory-space DMA path cannot be vmapped, so the batch
+    axis becomes an extra grid dimension instead: state shape
+    (nvar, n_ens, nx + 2*NGX, qy_pad), grid (n_ens, n_tiles), each
+    program DMAs its problem's row band.  Per-problem arithmetic is the
+    exact single-problem pipeline.
+
+    Returns (to_padded, from_padded, fill, step) over the batched layout;
+    to_padded/from_padded map (n_ens, nvar, qx, qy) stacks.
+    """
+    assert tile_rows % 8 == 0 and nx % tile_rows == 0
+    n_tiles = nx // tile_rows
+    nvar = ivars.nvar
+    qy = ny + 2 * NG
+    qy_pad = -(-qy // 128) * 128
+    ny_eff = qy_pad - 2 * NG
+    qxp = nx + 2 * NGX
+
+    local_step, _g = _local_step_fn(tile_rows, ny_eff, dx, dy, gamma,
+                                    rp_params, ivars)
+    band_in = tile_rows + 2 * NGX
+
+    def kernel(dt_ref, U_hbm, out_hbm, band_vmem, res_vmem, sem_in,
+               sem_out):
+        e = pl.program_id(0)
+        i = pl.program_id(1)
+        start = pl.multiple_of(i * tile_rows, 8)
+        cp = pltpu.make_async_copy(
+            U_hbm.at[:, e, pl.ds(start, band_in), :], band_vmem, sem_in)
+        cp.start()
+        cp.wait()
+        U_loc = band_vmem[:, NGX - NG:NGX + tile_rows + NG, :]
+        res_vmem[...] = local_step(U_loc, dt_ref[0])
+        wstart = pl.multiple_of(NGX + i * tile_rows, 8)
+        cpo = pltpu.make_async_copy(
+            res_vmem, out_hbm.at[:, e, pl.ds(wstart, tile_rows), :],
+            sem_out)
+        cpo.start()
+        cpo.wait()
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_ens, n_tiles),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((nvar, band_in, qy_pad), jnp.float32),
+            pltpu.VMEM((nvar, tile_rows, qy_pad), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+
+    pallas_step = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((nvar, n_ens, qxp, qy_pad),
+                                       jnp.float32),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+    @jax.jit
+    def step(P, dt):
+        return pallas_step(jnp.asarray([dt], jnp.float32), P)
+
+    @jax.jit
+    def fill(P):
+        P = P.at[:, :, :, 0:NG].set(P[:, :, :, ny:ny + NG])
+        P = P.at[:, :, :, NG + ny:2 * NG + ny].set(P[:, :, :, NG:2 * NG])
+        P = P.at[:, :, 0:NGX, :].set(P[:, :, nx:nx + NGX, :])
+        P = P.at[:, :, NGX + nx:, :].set(P[:, :, NGX:2 * NGX, :])
+        return P
+
+    @jax.jit
+    def to_padded(Us):
+        # (n_ens, nvar, qx, qy) -> (nvar, n_ens, qxp, qy_pad)
+        P = jnp.zeros((nvar, n_ens, qxp, qy_pad), jnp.float32)
+        return P.at[:, :, NGX - NG:NGX + nx + NG, :qy].set(
+            jnp.moveaxis(Us, 0, 1).astype(jnp.float32))
+
+    @jax.jit
+    def from_padded(P):
+        return jnp.moveaxis(
+            P[:, :, NGX - NG:NGX + nx + NG, :qy], 1, 0)
+
+    return to_padded, from_padded, fill, step
+
+
 # -- general problems on the padded layout -----------------------------------
 
 class IneligibleStep(Exception):
