@@ -147,8 +147,11 @@ def _bench_swe(n):
         U, t = c
         return step(fill(U), t, dt), t + dt
 
-    ms = _slope_ms(_scan_chain(body), (U0, jnp.asarray(0.0, U0.dtype)))
-    return ms, "jitted CTU step scan (Roe + entropy fix)"
+    # long chains: the fused swe step is ~0.06 ms at 256^2, below the
+    # noise floor of short chains
+    ms = _slope_ms(_scan_chain(body), (U0, jnp.asarray(0.0, U0.dtype)),
+                   n1=64, n2=256)
+    return ms, "fused Pallas CTU band kernel (Roe + entropy fix)"
 
 
 def _mol(cls_name, solver, n):

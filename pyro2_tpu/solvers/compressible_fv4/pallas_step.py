@@ -26,20 +26,24 @@ from pyro2_tpu.mesh.grid import Cartesian2d
 from pyro2_tpu.solvers.compressible.pallas_step import (
     NG, NGX, IneligibleStep, _pick_tile)
 
-__all__ = ["make_pallas_fv4_substep", "IneligibleStep"]
+__all__ = ["make_pallas_fv4_substep", "make_pallas_rk_substep",
+           "make_pallas_mol_substep", "IneligibleStep"]
 
 
-def _local_fv4_substep_fn(tile_rows, ny, dx, dy, rp_params, ivars):
-    """build_substep on the band grid, wrapped for full-frame mode."""
+def _local_substep_fn(tile_rows, ny, dx, dy, rp_params, ivars, builder):
+    """`builder`'s substep on the band grid, wrapped for full-frame mode.
+
+    builder(band_grid, rp, ivars) -> substep(U, t, dt); fv4 passes
+    compressible_fv4.build_substep, rk a solid-closing wrapper over
+    compressible_rk.build_substep."""
     from pyro2_tpu.mesh import indexer as _ix
-    from pyro2_tpu.solvers.compressible_fv4.simulation import build_substep
     from pyro2_tpu.util.runparams import RuntimeParameters
 
     g = Cartesian2d(tile_rows, ny, ng=NG,
                     xmax=tile_rows * dx, ymax=ny * dy)
     rp = RuntimeParameters()
     rp.params = dict(rp_params)
-    inner = build_substep(g, rp, ivars)
+    inner = builder(g, rp, ivars)
     iv_sl = (slice(None), slice(g.ilo, g.ihi + 1), slice(None))
 
     def substep(U, t, dt):
@@ -51,19 +55,51 @@ def _local_fv4_substep_fn(tile_rows, ny, dx, dy, rp_params, ivars):
 
 
 def make_pallas_fv4_substep(sim, tile_rows=None, interpret=False):
-    """A jitted substep(U, t, dt) -> k running in the fused band kernel.
+    """A jitted fv4 substep(U, t, dt) -> k in the fused band kernel.
+
+    Bitwise vs the jnp substep on the interior
+    (tests/test_pallas_tpu.py::test_fv4_substep_bitwise_vs_jnp)."""
+    from pyro2_tpu.solvers.compressible_fv4.simulation import build_substep
+    return make_pallas_mol_substep(sim, build_substep,
+                                   tile_rows=tile_rows,
+                                   interpret=interpret)
+
+
+def make_pallas_rk_substep(sim, tile_rows=None, interpret=False):
+    """A jitted 2nd-order MOL substep(U, t, dt) -> k in the fused band
+    kernel (compressible_rk's PLM + single Riemann pass pipeline)."""
+    from pyro2_tpu.solvers.compressible_rk.simulation import build_substep
+    from pyro2_tpu.util.profile_pyro import TimerCollection
+
+    if sim.rp.get_param("compressible.well_balanced"):
+        raise IneligibleStep(
+            "well-balanced reconstruction has no kernel tier")
+    s = sim.solid
+    if any(not isinstance(v, int) or v != 0
+           for v in (s.xl, s.xr, s.yl, s.yr)):
+        raise IneligibleStep("solid walls need band-gated clamps")
+
+    class _Solid:
+        xl = xr = yl = yr = 0
+
+    def builder(g, rp, ivars):
+        return build_substep(g, rp, ivars, _Solid(), TimerCollection())
+
+    return make_pallas_mol_substep(sim, builder, tile_rows=tile_rows,
+                                   interpret=interpret)
+
+
+def make_pallas_mol_substep(sim, builder, tile_rows=None, interpret=False):
+    """The shared band-kernel machinery for MOL stage increments.
 
     Same contract as jax.jit(sim._make_substep()): U is the (nvar, qx,
-    qy) ghost-filled average stack; k is the stage increment, zero on
-    the ghosts.  Bitwise vs the jnp substep on the interior
-    (tests/test_pallas_tpu.py::test_fv4_substep_bitwise_vs_jnp).
-
-    Raises IneligibleStep for spherical geometry, problem sources, or
-    when no 8-multiple tile divides nx.
+    qy) ghost-filled stack; k is the stage increment, zero on the
+    ghosts.  Raises IneligibleStep for spherical geometry, problem
+    sources, or when no 8-multiple tile divides nx.
     """
     myg = sim.cc_data.grid
     if getattr(myg, "coord_type", 0) != 0:
-        raise IneligibleStep("fv4 kernel is Cartesian-only")
+        raise IneligibleStep("MOL kernels are Cartesian-only")
     if sim.problem_source is not None:
         raise IneligibleStep("problem source terms use global coordinates")
     rp = sim.rp
@@ -81,8 +117,8 @@ def make_pallas_fv4_substep(sim, tile_rows=None, interpret=False):
     ny_eff = qy_pad - 2 * NG
     qxp = nx + 2 * NGX
 
-    local_substep = _local_fv4_substep_fn(tile_rows, ny_eff, myg.dx,
-                                          myg.dy, rp.params, ivars)
+    local_substep = _local_substep_fn(tile_rows, ny_eff, myg.dx,
+                                      myg.dy, rp.params, ivars, builder)
 
     band_in = tile_rows + 2 * NGX
 

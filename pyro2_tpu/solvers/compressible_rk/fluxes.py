@@ -7,7 +7,7 @@ import jax.numpy as jnp
 
 import pyro2_tpu.solvers.compressible.unsplit_fluxes as ctu_flx
 from pyro2_tpu.mesh import reconstruction
-from pyro2_tpu.mesh.indexer import ai
+from pyro2_tpu.mesh.indexer import ai, embed
 from pyro2_tpu.solvers.compressible import riemann
 
 
@@ -41,8 +41,11 @@ def fluxes(U, my_data, rp, ivars, solid, tc):
     grav = rp.get_param("compressible.grav")
     if well_balanced:
         # hydrostatic-subtracted limiting of the y pressure slope
-        ldy = ldy.at[ivars.ip].set(
-            reconstruction.well_balance(q, myg, limiter, ivars, grav))
+        # (row-list rebuild: scatter-free for the fused band kernel)
+        rows = [ldy[n] for n in range(ivars.nq)]
+        rows[ivars.ip] = reconstruction.well_balance(q, myg, limiter,
+                                                     ivars, grav)
+        ldy = jnp.stack(rows)
 
     b = 2
     qw = ai(q, myg).v(buf=b)
@@ -50,9 +53,7 @@ def fluxes(U, my_data, rp, ivars, solid, tc):
     ldy_w = ai(ldy, myg).v(buf=b)
 
     def put(vals, ishift=0, jshift=0):
-        out = jnp.zeros_like(q)
-        return out.at[:, myg.ilo - b + ishift:myg.ihi + 1 + b + ishift,
-                      myg.jlo - b + jshift:myg.jhi + 1 + b + jshift].set(vals)
+        return embed(vals, myg, buf=b, ishift=ishift, jshift=jshift)
 
     V_xl = put(qw + 0.5 * ldx_w, ishift=1)
     V_xr = put(qw - 0.5 * ldx_w)
@@ -62,10 +63,14 @@ def fluxes(U, my_data, rp, ivars, solid, tc):
     if well_balanced:
         # reconstruct p0 + p1 on the y faces: add the hydrostatic p0 part
         p0_incr = 0.5 * myg.dy * qw[ivars.irho] * grav
-        V_yl_w = V_yl_w.at[ivars.ip].set(qw[ivars.ip] + p0_incr +
-                                         0.5 * ldy_w[ivars.ip])
-        V_yr_w = V_yr_w.at[ivars.ip].set(qw[ivars.ip] - p0_incr -
-                                         0.5 * ldy_w[ivars.ip])
+        rows_l = [V_yl_w[n] for n in range(ivars.nq)]
+        rows_r = [V_yr_w[n] for n in range(ivars.nq)]
+        rows_l[ivars.ip] = (qw[ivars.ip] + p0_incr +
+                            0.5 * ldy_w[ivars.ip])
+        rows_r[ivars.ip] = (qw[ivars.ip] - p0_incr -
+                            0.5 * ldy_w[ivars.ip])
+        V_yl_w = jnp.stack(rows_l)
+        V_yr_w = jnp.stack(rows_r)
     V_yl = put(V_yl_w, jshift=1)
     V_yr = put(V_yr_w)
 

@@ -11,6 +11,64 @@ from pyro2_tpu.mesh.indexer import ai
 from pyro2_tpu.solvers import compressible
 
 
+def build_substep(myg, rp, ivars, solid, tc, problem_source=None):
+    """The raw MOL stage-increment closure on an arbitrary grid.
+
+    Standalone (like compressible_fv4.build_substep) so the fused Pallas
+    band kernel can instantiate the IDENTICAL pipeline on its band grid;
+    scatter-free and full-frame-aware throughout."""
+    small_dens = rp.get_param("compressible.small_dens")
+    do_sponge = rp.get_param("sponge.do_sponge")
+
+    class _Data:
+        grid = myg
+
+    my_data = _Data()
+
+    def substep(U, t, dt):
+        from pyro2_tpu.mesh.indexer import embed, embed_into
+
+        # clamp the -1e200 "no floor" sentinel to the dtype's finite
+        # range (an f32 cast of -1e200 overflows and warns)
+        floor = max(small_dens, float(jnp.finfo(U.dtype).min))
+        dens = U[ivars.idens]
+        dens_f = embed_into(
+            jnp.maximum(ai(dens, myg).v(), floor), myg, dens)
+        rows = [U[n] for n in range(ivars.nvar)]
+        rows[ivars.idens] = dens_f
+        U = jnp.stack(rows)
+
+        S = compressible.get_external_sources(
+            t, dt, U, ivars, rp, myg, problem_source=problem_source)
+
+        F_x, F_y = flx.fluxes(U, my_data, rp, ivars, solid, tc)
+        Fx = ai(F_x, myg)
+        Fy = ai(F_y, myg)
+        k_v = ((Fx.v() - Fx.ip(1)) / myg.dx +
+               (Fy.v() - Fy.jp(1)) / myg.dy +
+               ai(S, myg).v())
+
+        if do_sponge:
+            kappa_f = compressible.get_sponge_factor(U, ivars, rp, myg)
+            kf = ai(kappa_f, myg).v()
+            Uv = ai(U, myg)
+            krows = [k_v[n] for n in range(ivars.nvar)]
+            krows[ivars.ixmom] = krows[ivars.ixmom] + \
+                (-kf * Uv.v()[ivars.ixmom])
+            krows[ivars.iymom] = krows[ivars.iymom] + \
+                (-kf * Uv.v()[ivars.iymom])
+            krows[ivars.iener] = krows[ivars.iener] + (
+                -kf * (Uv.v()[ivars.ixmom] ** 2 /
+                       Uv.v()[ivars.idens] +
+                       Uv.v()[ivars.iymom] ** 2 /
+                       Uv.v()[ivars.idens]))
+            k_v = jnp.stack(krows)
+
+        return embed(k_v, myg)
+
+    return substep
+
+
 class Simulation(compressible.Simulation):
     """The MOL compressible hydrodynamics solver."""
 
@@ -42,61 +100,17 @@ class Simulation(compressible.Simulation):
         return self._substep_jit
 
     def _make_fused_substep(self):
-        from pyro2_tpu.solvers.compressible.pallas_step import \
-            IneligibleStep
-        raise IneligibleStep(
-            "no fused kernel for the 2nd-order MOL substep")
+        """The fused band-kernel twin of the 2nd-order MOL substep."""
+        from pyro2_tpu.solvers.compressible_fv4.pallas_step import \
+            make_pallas_rk_substep
+        return make_pallas_rk_substep(self)
 
     def _make_substep(self):
         """The raw (unjitted) stage-increment closure; the sharded MOL
         path traces it inside shard_map with block-gated solid flags."""
-        myg = self.cc_data.grid
-        rp = self.rp
-        ivars = self.ivars
-        solid = self.solid
-        tc = self.tc
-        my_data = self.cc_data
-        problem_source = self.problem_source
-        small_dens = rp.get_param("compressible.small_dens")
-        do_sponge = rp.get_param("sponge.do_sponge")
-        iv_sl = (slice(None), slice(myg.ilo, myg.ihi + 1),
-                 slice(myg.jlo, myg.jhi + 1))
-
-        def substep(U, t, dt):
-            # clamp the -1e200 "no floor" sentinel to the dtype's finite
-            # range (an f32 cast of -1e200 overflows and warns)
-            floor = max(small_dens, float(jnp.finfo(U.dtype).min))
-            U = U.at[(ivars.idens,) + iv_sl[1:]].set(
-                jnp.maximum(U[(ivars.idens,) + iv_sl[1:]], floor))
-
-            S = compressible.get_external_sources(
-                t, dt, U, ivars, rp, myg,
-                problem_source=problem_source)
-
-            F_x, F_y = flx.fluxes(U, my_data, rp, ivars, solid, tc)
-            Fx = ai(F_x, myg)
-            Fy = ai(F_y, myg)
-            k_v = ((Fx.v() - Fx.ip(1)) / myg.dx +
-                   (Fy.v() - Fy.jp(1)) / myg.dy +
-                   S[iv_sl])
-
-            if do_sponge:
-                kappa_f = compressible.get_sponge_factor(U, ivars, rp,
-                                                         myg)
-                kf = ai(kappa_f, myg).v()
-                Uv = ai(U, myg)
-                k_v = k_v.at[ivars.ixmom].add(-kf * Uv.v()[ivars.ixmom])
-                k_v = k_v.at[ivars.iymom].add(-kf * Uv.v()[ivars.iymom])
-                k_v = k_v.at[ivars.iener].add(
-                    -kf * (Uv.v()[ivars.ixmom] ** 2 /
-                           Uv.v()[ivars.idens] +
-                           Uv.v()[ivars.iymom] ** 2 /
-                           Uv.v()[ivars.idens]))
-
-            k = jnp.zeros_like(U)
-            return k.at[iv_sl].set(k_v)
-
-        return substep
+        return build_substep(self.cc_data.grid, self.rp, self.ivars,
+                             self.solid, self.tc,
+                             problem_source=self.problem_source)
 
     def substep(self, myd):
         """The RK increment for the stage state myd."""

@@ -360,3 +360,26 @@ def test_fv4_substep_bitwise_vs_jnp():
     sim.method_compute_timestep()
     sim.evolve()
     assert bool(jnp.all(jnp.isfinite(sim.cc_data.data)))
+
+
+def test_rk_substep_vs_jnp():
+    """The fused 2nd-order MOL band kernel matches the jnp substep
+    (bitwise at this size on hardware; 1-ulp flux-level contraction
+    noise allowed) and auto-routes through _substep_fn."""
+    from pyro2_tpu import Pyro
+
+    p = Pyro("compressible_rk")
+    p.initialize_problem("advect", inputs_dict={
+        "mesh.nx": 64, "mesh.ny": 64,
+        "mesh.xlboundary": "periodic", "mesh.xrboundary": "periodic",
+        "mesh.ylboundary": "periodic", "mesh.yrboundary": "periodic",
+        "driver.verbose": 0, "vis.dovis": 0, "io.do_io": 0})
+    sim = p.sim
+    sim.cc_data.fill_BC_all()
+    U0 = sim.cc_data.data.astype(jnp.float32)
+    dt = jnp.asarray(1e-3, jnp.float32)
+    fused = sim._substep_fn()
+    k_f = fused(U0, 0.0, dt)
+    k_j = jax.jit(sim._make_substep())(U0, 0.0, dt)
+    scale = float(jnp.max(jnp.abs(k_j)))
+    assert float(jnp.max(jnp.abs(k_f - k_j))) <= 1e-4 * max(1.0, scale)
