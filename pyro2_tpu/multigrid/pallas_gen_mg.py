@@ -35,7 +35,6 @@ operators yet), homogeneous standard BCs on every edge.
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 from pyro2_tpu.multigrid import pallas_mg
 from pyro2_tpu.multigrid.pallas_mg import (

@@ -8,7 +8,7 @@ import numpy as np
 
 import pyro2_tpu.solvers.compressible_fv4.fluxes as flx
 from pyro2_tpu.mesh import fv
-from pyro2_tpu.mesh.fv import from_centers_array, to_centers_array
+from pyro2_tpu.mesh.fv import to_centers_array
 from pyro2_tpu.mesh.indexer import ai
 from pyro2_tpu.solvers import compressible_rk
 from pyro2_tpu.solvers.compressible import (get_external_sources,
