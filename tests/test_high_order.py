@@ -167,3 +167,59 @@ class TestBurgersViscous:
         # viscosity damps the velocity perturbation amplitude
         assert (u1 - u1.mean()).std() < (u0 - u0.mean()).std()
         assert np.isfinite(u1).all()
+
+
+class TestFusedMOLSubsteps:
+    """Interpret-mode validation of the fused MOL stage-increment
+    kernels (CPU twins of the hardware tests in test_pallas_tpu.py)."""
+
+    @pytest.mark.slow
+    def test_fv4_substep_interpret(self):
+        import jax
+        import jax.numpy as jnp
+
+        from pyro2_tpu import Pyro
+        from pyro2_tpu.solvers.compressible_fv4.pallas_step import \
+            make_pallas_fv4_substep
+
+        p = Pyro("compressible_fv4")
+        p.initialize_problem("acoustic_pulse", inputs_dict={
+            "mesh.nx": 32, "mesh.ny": 32,
+            "driver.verbose": 0, "vis.dovis": 0, "io.do_io": 0})
+        sim = p.sim
+        sim.preevolve()
+        sim.cc_data.fill_BC_all()
+        U0 = sim.cc_data.data.astype(jnp.float32)
+        dt = jnp.asarray(1e-3, jnp.float32)
+        k_f = make_pallas_fv4_substep(sim, interpret=True)(U0, 0.0, dt)
+        k_j = jax.jit(sim._make_substep())(U0, 0.0, dt)
+        scale = float(jnp.max(jnp.abs(k_j)))
+        # interpret mode differs from the jnp build only by XLA fusion
+        # clustering (ulp-level); hardware is bitwise
+        assert float(jnp.max(jnp.abs(k_f - k_j.astype(jnp.float32)))) \
+            <= 1e-5 * max(1.0, scale)
+
+    @pytest.mark.slow
+    def test_rk_substep_interpret(self):
+        import jax
+        import jax.numpy as jnp
+
+        from pyro2_tpu import Pyro
+        from pyro2_tpu.solvers.compressible_fv4.pallas_step import \
+            make_pallas_rk_substep
+
+        p = Pyro("compressible_rk")
+        p.initialize_problem("advect", inputs_dict={
+            "mesh.nx": 32, "mesh.ny": 32,
+            "mesh.xlboundary": "periodic", "mesh.xrboundary": "periodic",
+            "mesh.ylboundary": "periodic", "mesh.yrboundary": "periodic",
+            "driver.verbose": 0, "vis.dovis": 0, "io.do_io": 0})
+        sim = p.sim
+        sim.cc_data.fill_BC_all()
+        U0 = sim.cc_data.data.astype(jnp.float32)
+        dt = jnp.asarray(1e-3, jnp.float32)
+        k_f = make_pallas_rk_substep(sim, interpret=True)(U0, 0.0, dt)
+        k_j = jax.jit(sim._make_substep())(U0, 0.0, dt)
+        scale = float(jnp.max(jnp.abs(k_j)))
+        assert float(jnp.max(jnp.abs(k_f - k_j.astype(jnp.float32)))) \
+            <= 1e-4 * max(1.0, scale)

@@ -67,3 +67,32 @@ class TestSWE:
         # cells to sit on it (robust to where the waves land on the grid)
         on_plateau = np.sum(np.abs(h - 0.42876) < 0.02)
         assert on_plateau >= 3, (on_plateau, h.min(), h.max())
+
+
+class TestFusedSweKernel:
+    """Interpret-mode validation of the fused swe band kernel (the CPU
+    twin of tests/test_pallas_tpu.py::test_swe_kernel_bitwise_vs_jnp)."""
+
+    @pytest.mark.slow
+    def test_interpret_bitwise_vs_jnp(self):
+        import jax
+        import jax.numpy as jnp
+
+        from pyro2_tpu import Pyro
+        from pyro2_tpu.solvers.swe.pallas_step import \
+            make_pallas_swe_step_padded
+
+        p = Pyro("swe")
+        p.initialize_problem("dam", inputs_dict={
+            "mesh.nx": 32, "mesh.ny": 32, "swe.riemann": "Roe",
+            "driver.verbose": 0, "vis.dovis": 0, "io.do_io": 0})
+        sim = p.sim
+        sim.cc_data.fill_BC_all()
+        U0 = sim.cc_data.data.astype(jnp.float32)
+        dt = jnp.asarray(5e-4, jnp.float32)
+        to_p, from_p, fill, step_p = make_pallas_swe_step_padded(
+            sim, interpret=True)
+        ng = sim.cc_data.grid.ng
+        U_f = from_p(step_p(to_p(U0), 0.0, dt))[:, ng:-ng, ng:-ng]
+        U_j = jax.jit(sim._make_step())(U0, 0.0, dt)[:, ng:-ng, ng:-ng]
+        assert bool(jnp.all(U_f == U_j.astype(jnp.float32)))
