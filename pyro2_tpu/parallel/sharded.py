@@ -197,6 +197,17 @@ class ShardedSim:
             self._step = build_overlapped_step(self)
         else:
             self._step = self._build()
+            # eligible simple configurations run the block-local step as
+            # the fused Pallas band kernel INSIDE shard_map on TPU (the
+            # single-chip 3-5x carried to multi-chip); anything else
+            # keeps the jnp block step
+            if jax.default_backend() == "tpu":
+                try:
+                    fused = self._build_fused()
+                except Exception:
+                    fused = None
+                if fused is not None:
+                    self._step = fused
         self._dt_fn = self._build_dt()
         self._global_sim = None
 
@@ -370,6 +381,62 @@ class ShardedSim:
             U = self._apply_ext_fills(self.local_sim.cc_data, self.bcs,
                                       self.names, U, t)
         return U
+
+    def _build_fused(self, interpret=False):
+        """The block-local step as the fused Pallas band kernel inside
+        shard_map (carrying the single-chip kernel win to multi-chip),
+        or None when the configuration is outside the plain kernels'
+        coverage (sources, sponge, floors, solid walls, extended BCs,
+        spherical -- those keep the jnp block step)."""
+        lg = self.local_grid
+        ng = self.ng
+        if self._spherical or self._has_ext:
+            return None
+        if self.solver == "compressible":
+            rp = self.rp
+            base = self._base_solid
+            if (rp.get_param("compressible.grav") != 0.0 or
+                    rp.get_param("sponge.do_sponge") or
+                    rp.get_param("compressible.small_dens") > 0.0 or
+                    any((base.xl, base.xr, base.yl, base.yr))):
+                return None
+            from pyro2_tpu.solvers.compressible.pallas_step import (
+                _pick_tile, make_pallas_ctu_step_padded)
+            to_p, from_p, _f, step_p = make_pallas_ctu_step_padded(
+                lg.nx, lg.ny, lg.dx, lg.dy, rp.get_param("eos.gamma"),
+                rp.params, self.local_sim.ivars,
+                tile_rows=_pick_tile(lg.nx), interpret=interpret)
+
+            def kstep(U, t, dt):
+                return from_p(step_p(to_p(U), dt))
+        elif self.solver == "swe":
+            from pyro2_tpu.solvers.swe.pallas_step import \
+                make_pallas_swe_step_padded
+            to_p, from_p, _f, step_p = make_pallas_swe_step_padded(
+                self.local_sim, interpret=interpret)
+
+            def kstep(U, t, dt):
+                return from_p(step_p(to_p(U), t, dt))
+        else:
+            return None
+
+        def body(U_int, t, dt):
+            pad = [(0, 0)] * U_int.ndim
+            pad[-2] = (ng, ng)
+            pad[-1] = (ng, ng)
+            U = self._fill_local(jnp.pad(U_int, pad), t)
+            U = kstep(U, t, dt)
+            # the kernel leaves ghost rows/lanes stale; only the interior
+            # is returned (exactly the jnp block step's contract)
+            return U[..., ng:-ng, ng:-ng]
+
+        spec = P(None, "x", "y")
+        # check_vma off: pallas_call outputs inside the traced body do
+        # not thread varying-mesh-axes metadata (same as the fused
+        # sharded MG, sharded_mg.py kernel mode)
+        return jax.jit(jax.shard_map(body, mesh=self.mesh,
+                                     in_specs=(spec, P(), P()),
+                                     out_specs=spec, check_vma=False))
 
     def _build(self):
         ng = self.ng

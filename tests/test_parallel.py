@@ -851,6 +851,49 @@ class TestShardedGeneralMG:
         assert np.max(np.abs(sols[True] - sols[False])) < 1e-11 * scale
 
 
+class TestShardedFusedBlockStep:
+    """The fused Pallas band kernel as the block-local step inside
+    shard_map (sharded.py _build_fused): bitwise vs the jnp sharded
+    step (interpret mode on the 8-device mesh)."""
+
+    @pytest.mark.slow
+    def test_compressible_bitwise(self):
+        from pyro2_tpu.parallel.sharded import ShardedCompressible
+
+        rp = _rp(32, 32)
+        rp.set_param("compressible.small_dens", -1.e30, no_new=False)
+        mesh = make_mesh(shape=(2, 4))
+        sc = ShardedCompressible(rp, mesh, problem="advect")
+        U0 = sc.init_interior().astype(jnp.float32)
+        ref = sc.step(U0, 0.0, 1e-3)
+        fused = sc._build_fused(interpret=True)
+        got = fused(U0, jnp.asarray(0.0), jnp.asarray(1e-3, jnp.float32))
+        assert bool(jnp.all(got == ref.astype(jnp.float32)))
+
+    @pytest.mark.slow
+    def test_swe_bitwise(self):
+        from pyro2_tpu.parallel.sharded import ShardedSWE
+
+        rp = RuntimeParameters()
+        rp.load_params("pyro2_tpu/_defaults")
+        rp.load_params("pyro2_tpu/solvers/swe/_defaults")
+        for k, v in {"mesh.nx": 32, "mesh.ny": 32,
+                     "mesh.xlboundary": "outflow",
+                     "mesh.xrboundary": "outflow",
+                     "mesh.ylboundary": "outflow",
+                     "mesh.yrboundary": "outflow",
+                     "driver.verbose": 0, "vis.dovis": 0,
+                     "io.do_io": 0}.items():
+            rp.set_param(k, v, no_new=False)
+        mesh = make_mesh(shape=(2, 4))
+        sw = ShardedSWE(rp, mesh, problem="dam")
+        U0 = sw.init_interior().astype(jnp.float32)
+        ref = sw.step(U0, 0.0, 5e-4)
+        fused = sw._build_fused(interpret=True)
+        got = fused(U0, jnp.asarray(0.0), jnp.asarray(5e-4, jnp.float32))
+        assert bool(jnp.all(got == ref.astype(jnp.float32)))
+
+
 class TestShardedScalarFamilies:
     """The scalar hyperbolic families (advection, burgers) behind the
     generic per-variable halo exchange (parallel/sharded_hyperbolic.py):
