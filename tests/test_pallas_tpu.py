@@ -383,3 +383,40 @@ def test_rk_substep_vs_jnp():
     k_j = jax.jit(sim._make_substep())(U0, 0.0, dt)
     scale = float(jnp.max(jnp.abs(k_j)))
     assert float(jnp.max(jnp.abs(k_f - k_j))) <= 1e-4 * max(1.0, scale)
+
+
+def test_ensemble_kernel_bitwise_vs_single():
+    """The batched fused CTU kernel (ensemble axis = grid axis) must be
+    bitwise the single-problem padded kernel, per member."""
+    from pyro2_tpu import Pyro
+    from pyro2_tpu.solvers.compressible.pallas_step import (
+        make_pallas_ctu_ensemble_step, make_pallas_ctu_step_padded)
+
+    N = 64
+    p = Pyro("compressible")
+    p.initialize_problem("acoustic_pulse", inputs_dict={
+        "mesh.nx": N, "mesh.ny": N,
+        "mesh.xlboundary": "periodic", "mesh.xrboundary": "periodic",
+        "mesh.ylboundary": "periodic", "mesh.yrboundary": "periodic",
+        "compressible.small_dens": -1.e30,
+        "driver.verbose": 0, "vis.dovis": 0, "io.do_io": 0})
+    sim, rp = p.sim, p.rp
+    myg = sim.cc_data.grid
+    sim.cc_data.fill_BC_all()
+    U0 = sim.cc_data.data.astype(jnp.float32)
+    U1 = jnp.roll(U0, 5, -1)
+    dt = jnp.asarray(1e-3, jnp.float32)
+    gamma = rp.get_param("eos.gamma")
+
+    to1, from1, fill1, step1 = make_pallas_ctu_step_padded(
+        N, N, myg.dx, myg.dy, gamma, rp.params, sim.ivars, tile_rows=32)
+    toe, frome, fille, stepe = make_pallas_ctu_ensemble_step(
+        2, N, N, myg.dx, myg.dy, gamma, rp.params, sim.ivars,
+        tile_rows=32)
+
+    out_e = frome(stepe(fille(toe(jnp.stack([U0, U1]))), dt))
+    ng = myg.ng
+    for i, U in enumerate((U0, U1)):
+        ref = from1(step1(fill1(to1(U)), dt))
+        assert bool(jnp.all(out_e[i][:, ng:-ng, ng:-ng] ==
+                            ref[:, ng:-ng, ng:-ng]))
