@@ -634,10 +634,13 @@ def bench_ctu_sizes(sim_small_rp):
     for n in (512, 1024, 2048, 4096, 8192):
         try:
             sim, rp = _make_sim(n)
+            # VMEM-aware tile: wide grids shrink the band instead of
+            # overflowing the 128 MB VMEM (4096^2 at 128-row tiles used
+            # 189 MB and failed; 32-row tiles run at 9.0e8 zups)
             to_p, from_p, fill_p, step_p = ps.make_pallas_ctu_step_padded(
                 n, n, sim.cc_data.grid.dx, sim.cc_data.grid.dy,
                 rp.get_param("eos.gamma"), rp.params, sim.ivars,
-                tile_rows=128)
+                tile_rows=ps._vmem_tile(n, n))
             P0 = to_p(sim.cc_data.data.astype(jnp.float32))
             dt = jnp.asarray(1e-4 * 1024 / n, jnp.float32)
 

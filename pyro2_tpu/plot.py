@@ -18,7 +18,9 @@ def makeplot(plotfile_name, outfile, *, width=None, height=None, dpi=100):
     sizes = {}
     if width is not None and height is not None:
         sizes = {"figsize": (width, height)}
-    plt.figure(num=1, dpi=dpi, **sizes)
+    # num=1 + clear: reuse-or-reset (a pre-existing figure 1 in the same
+    # process would otherwise warn that its size args are ignored)
+    plt.figure(num=1, clear=True, dpi=dpi, **sizes)
 
     sim.dovis()
     plt.savefig(outfile, bbox_inches="tight", dpi=dpi)

@@ -578,12 +578,26 @@ class IneligibleStep(Exception):
 
 def _pick_tile(nx, want=128):
     """Largest multiple of 8 that divides nx, capped at `want`."""
-    t = min(want, nx)
+    t = (min(want, nx) // 8) * 8    # start ON a multiple of 8
     while t >= 8:
-        if t % 8 == 0 and nx % t == 0:
+        if nx % t == 0:
             return t
         t -= 8
     raise IneligibleStep(f"no 8-multiple tile divides nx={nx}")
+
+
+# empirical live-VMEM footprint of the CTU band pipeline: ~78 band-sized
+# f32 planes (measured: 189 MB at band=144 rows x 4224 lanes -> VMEM OOM
+# on the 128 MB v5e at 4096^2 with 128-row tiles)
+_CTU_LIVE_PLANES = 78
+
+
+def _vmem_tile(nx, ny, want=128):
+    """The largest tile whose band pipeline fits the VMEM budget at this
+    lane width (wide grids shrink the tile instead of failing)."""
+    qy_pad = -(-(ny + 2 * NG) // 128) * 128
+    budget_rows = int(100e6 / (qy_pad * 4 * _CTU_LIVE_PLANES)) - 2 * NGX
+    return _pick_tile(nx, want=max(8, min(want, budget_rows)))
 
 
 def make_pallas_ctu_step_padded_general(sim, tile_rows=None,
@@ -618,7 +632,7 @@ def make_pallas_ctu_step_padded_general(sim, tile_rows=None,
         raise IneligibleStep("problem source terms use global coordinates")
 
     nx, ny = myg.nx, myg.ny
-    tile_rows = tile_rows or _pick_tile(nx)
+    tile_rows = tile_rows or _vmem_tile(nx, ny)
     n_tiles = nx // tile_rows
     nvar = ivars.nvar
     qy = ny + 2 * NG
