@@ -12,11 +12,10 @@ path for that family:
   burgers_viscous) time the fully jitted sharded 1x1 step -- RHS + MG
   solve(s) inside a single scanned program; MG solves include the fused
   Pallas V-cycle where eligible;
-* lm_atm is HOST-COMPOSED in production (a fresh VarCoeffCCMG2d per
-  projection builds its coefficient hierarchy on the host), so its row
-  is a wall-clock slope over evolve() calls, flagged "host_composed" --
-  the number includes that per-step host work and the per-dispatch
-  tunnel latency of this setup.
+* lm_atm's evolve is ONE jitted dispatch (traced coefficient
+  hierarchies + both projection phases, sharded_lm_atm._full_step), so
+  it scan-chains like everything else; its projections run the fused
+  Pallas vc V-cycles.
 
 Standard sizes follow the reference's canonical runs
 (/root/reference/pyro/test.py:93-113: sod 128, shear 128, lm bubble 128,
@@ -226,7 +225,11 @@ def _incomp(cls_name, solver, n, problem="shear"):
         return sv._step(U, dt)
 
     ms = _slope_ms(_scan_chain(body), U0, n1=4, n2=16)
-    return ms, "3 MG solves + advection inside one scanned step"
+    n_solves = "5 (3 projections + 2 C-N velocity)" \
+        if "Viscous" in cls_name else "3 (MAC + final + lagged-gradp)"
+    return ms, (f"bottleneck: {n_solves} fused-MG solves per step "
+                "(each ~6 V-cycles to rtol 1e-10/1e-12); the "
+                "advective stages are <20% of step time")
 
 
 def _bench_burgers_viscous(n):
