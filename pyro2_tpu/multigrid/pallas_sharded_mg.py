@@ -130,13 +130,22 @@ def build_deep_smooth_kernel(*, bx, by, dpx, dpy, d, n_sweeps, dx, dy,
             yc = beta / dy ** 2
             denom = alpha + 2.0 * xc + 2.0 * yc
         else:
+            # loop-invariant operator planes hoisted OUT of the sweep
+            # loops (Mosaic does not hoist rolls/sums out of fori_loop)
             C = c_ref[...]
             if ncoef == 2:
                 cbx, cby = C[0], C[1]
+                cbxp = jnp.roll(cbx, -1, 0)
+                cbyp = jnp.roll(cby, -1, 1)
+                wip, wim, wjp, wjm = cbxp, cbx, cbyp, cby
+                cdenom = cbxp + cbx + cbyp + cby
             else:
                 cal, cbx, cby, cgx, cgy = C[0], C[1], C[2], C[3], C[4]
-            cbxp = jnp.roll(cbx, -1, 0)
-            cbyp = jnp.roll(cby, -1, 1)
+                cbxp = jnp.roll(cbx, -1, 0)
+                cbyp = jnp.roll(cby, -1, 1)
+                wip, wim = cbxp + cgx, cbx - cgx
+                wjp, wjm = cbyp + cgy, cby - cgy
+                cdenom = cal - cbxp - cbx - cbyp - cby
         sxl, sxr, syl, syr = (flags_ref[0], flags_ref[1], flags_ref[2],
                               flags_ref[3])
         f = f_ref[...]
@@ -175,12 +184,11 @@ def build_deep_smooth_kernel(*, bx, by, dpx, dpy, d, n_sweeps, dx, dy,
             if ncoef == 0:
                 upd = (f + xc * (vip + vim) + yc * (vjp + vjm)) / denom
             elif ncoef == 2:
-                upd = (-f + cbxp * vip + cbx * vim +
-                       cbyp * vjp + cby * vjm) / (cbxp + cbx + cbyp + cby)
+                upd = (-f + wip * vip + wim * vim +
+                       wjp * vjp + wjm * vjm) / cdenom
             else:
-                upd = (f - (cbxp + cgx) * vip - (cbx - cgx) * vim -
-                       (cbyp + cgy) * vjp - (cby - cgy) * vjm) / \
-                    (cal - cbxp - cbx - cbyp - cby)
+                upd = (f - wip * vip - wim * vim -
+                       wjp * vjp - wjm * vjm) / cdenom
             return upd if m is None else jnp.where(m, upd, v)
 
         # entry refresh: the caller exchanges seam halos only (phys=False);

@@ -451,6 +451,49 @@ class TestFusedGeneralCycle:
         with _pytest.raises(pallas_gen_mg.Ineligible):
             pallas_gen_mg.build_fused_cycle_general(mg, interpret=True)
 
+    @pytest.mark.slow
+    def test_vc_banded_level_parity(self):
+        """Force row-banding so the coefficient banded DOWN/UP kernels
+        (the >512^2 tier with per-band plane DMA) are exercised."""
+        from pyro2_tpu.multigrid import pallas_gen_mg, pallas_mg
+        saved = (pallas_mg.CORE_MAX, pallas_mg.WHOLE_MAX,
+                 pallas_mg.BAND_ROWS)
+        pallas_mg.CORE_MAX = 8
+        pallas_mg.WHOLE_MAX = 16
+        pallas_mg.BAND_ROWS = 16
+        try:
+            MG._CYCLE_CACHE.clear()
+            N = 64
+            g = Grid2d(N, N, ng=1)
+            bc_c = bnd.BC(xlb="neumann", xrb="neumann",
+                          ylb="neumann", yrb="neumann")
+            c = jnp.asarray(2.0 + np.cos(2 * np.pi * g.x2d) *
+                            np.cos(2 * np.pi * g.y2d))
+            mg = VarCoeffCCMG2d(N, N, coeffs=c, coeffs_bc=bc_c,
+                                nsmooth=2, verbose=0)
+            gg = mg.soln_grid
+            f = jnp.asarray(np.sin(2 * np.pi * gg.x2d) *
+                            np.cos(4 * np.pi * gg.y2d) + 0.3 * gg.x2d)
+            v0 = jnp.zeros((gg.qx, gg.qy), f.dtype)
+            fused = pallas_gen_mg.build_fused_cycle_general(
+                mg, interpret=True)
+            nlev = mg.nlevels - 1
+
+            def one_cycle(v, ff, params):
+                v = mg._v_cycle(nlev, v, ff, params)
+                r = mg._residual(nlev, v, ff, params)
+                return v, r, ai(r, gg).norm()
+
+            p = mg._params()
+            vf, rf, nf = fused(v0, f, p)
+            vj, rj, nj = one_cycle(v0, f, p)
+        finally:
+            (pallas_mg.CORE_MAX, pallas_mg.WHOLE_MAX,
+             pallas_mg.BAND_ROWS) = saved
+        vf, vj = np.asarray(vf), np.asarray(vj)
+        assert np.max(np.abs(vf - vj)) < 1e-13 * max(1, np.abs(vj).max())
+        assert abs(float(nf) - float(nj)) < 1e-12 * max(1.0, float(nj))
+
     def test_vc_full_solve_interpret(self):
         """End-to-end vc solve auto-routed through the fused path: same
         analytic problem as TestVarCoeff, forced onto the kernels."""
