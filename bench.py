@@ -311,6 +311,37 @@ def bench_mg():
                      f"{type(e).__name__}: {e}")
         out[f"mg_vcycle_fused_ms_{nmg}"] = fused_ms
 
+        if nmg == 512 and jax.default_backend() != "cpu":
+            # the coefficient-operator fused cycle (pallas_gen_mg):
+            # lm_atm's projection operator, benchmarked directly
+            try:
+                import pyro2_tpu.mesh.boundary as bnd
+                from pyro2_tpu.multigrid import pallas_gen_mg
+                from pyro2_tpu.multigrid.variable_coeff_MG import \
+                    VarCoeffCCMG2d
+                bc_c = bnd.BC(xlb="neumann", xrb="neumann",
+                              ylb="neumann", yrb="neumann")
+                eta = jnp.asarray(
+                    2.0 + np.cos(2 * np.pi * np.asarray(g.x2d)) *
+                    np.cos(2 * np.pi * np.asarray(g.y2d)), jnp.float32)
+                vmg = VarCoeffCCMG2d(nmg, nmg, coeffs=eta,
+                                     coeffs_bc=bc_c, verbose=0)
+                vfn = pallas_gen_mg.build_fused_cycle_general(vmg)
+                jfn = vmg._build_cycle(force_jnp=True)
+                vv, vf_, vp = vmg.v[-1], rhs.astype(jnp.float32), \
+                    vmg._params()
+                per, _, _ = _time_slope(cycle_chain(vfn, vf_, vp),
+                                        10, 50, vv)
+                out["mg_vc_cycle_fused_ms_512"] = per * 1e3
+                per, _, _ = _time_slope(cycle_chain(jfn, vf_, vp),
+                                        10, 50, vv)
+                out["mg_vc_cycle_jnp_ms_512"] = per * 1e3
+                _log(f"vc cycle 512: fused "
+                     f"{out['mg_vc_cycle_fused_ms_512']:.3f} ms vs jnp "
+                     f"{out['mg_vc_cycle_jnp_ms_512']:.3f} ms")
+            except Exception as e:
+                _log(f"vc cycle bench failed: {type(e).__name__}: {e}")
+
         if nmg == 512:
             # solve to 1e-11 through the standard driver (uses the fused
             # cycle when eligible): warm (compile) once, then time a
