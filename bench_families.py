@@ -153,6 +153,67 @@ def _bench_swe(n):
     return ms, "fused Pallas CTU band kernel (Roe + entropy fix)"
 
 
+def _bench_advection_mol(solver, n, problem="smooth"):
+    """The advection MOL variants (rk/fv4/weno): the Butcher stage loop
+    at the jnp level over the solver's jitted substep, scan-chained."""
+    from pyro2_tpu.mesh import integration
+    from pyro2_tpu.mesh.indexer import fill_ghost
+
+    sim, rp = _make_serial(solver, problem, n)
+    if hasattr(sim, "preevolve"):
+        sim.preevolve()
+    sim.method_compute_timestep()
+    g = sim.cc_data.grid
+    bc = sim.cc_data.BCs["density"]
+    method = rp.get_param("advection.temporal_method")
+    A = integration.a[method]
+    B = integration.b[method]
+    substep = sim._substep_fn()
+    a0 = sim.cc_data.get_var("density")
+    dt = jnp.asarray(sim.dt, a0.dtype)
+    sl = (slice(g.ilo, g.ihi + 1), slice(g.jlo, g.jhi + 1))
+
+    def body(a):
+        ks = []
+        for s in range(len(B)):
+            stage = a
+            for j in range(s):
+                if A[s, j] != 0.0:
+                    stage = stage.at[sl].add(dt * A[s, j] * ks[j][sl])
+            ks.append(substep(fill_ghost(stage, g, bc)))
+        for s in range(len(B)):
+            if B[s] != 0.0:
+                a = a.at[sl].add(dt * B[s] * ks[s][sl])
+        return a
+
+    ms = _slope_ms(_scan_chain(body), a0, n1=16, n2=64)
+    return ms, f"jnp Butcher stage loop ({method}) over the jitted substep"
+
+
+def _bench_advection_nonuniform(n):
+    from pyro2_tpu.mesh.indexer import fill_ghost
+
+    sim, _ = _make_serial("advection_nonuniform", "slotted", n)
+    sim.method_compute_timestep()
+    d = sim.cc_data
+    g = d.grid
+    bc = d.BCs["density"]
+    u = d.get_var("x-velocity")
+    v = d.get_var("y-velocity")
+    shx = d.get_var("x-shift")
+    shy = d.get_var("y-shift")
+    a0 = d.get_var("density")
+    dt = jnp.asarray(sim.dt, a0.dtype)
+    step = sim._step
+
+    def body(a):
+        return step(fill_ghost(a, g, bc), u, v, shx, shy, dt)
+
+    # very cheap step (~0.02 ms): long chains to clear the tunnel noise
+    ms = _slope_ms(_scan_chain(body), a0, n1=128, n2=512)
+    return ms, "jitted upwind-shift step scan (rotation field)"
+
+
 def _mol(cls_name, solver, n):
     from pyro2_tpu.parallel import sharded_mol
     cls = getattr(sharded_mol, cls_name)
@@ -273,6 +334,13 @@ def _bench_lm_atm(n):
 
 FAMILIES = [
     ("advection", 256, _bench_advection),
+    ("advection_nonuniform", 256, _bench_advection_nonuniform),
+    ("advection_rk", 256,
+     lambda n: _bench_advection_mol("advection_rk", n)),
+    ("advection_fv4", 256,
+     lambda n: _bench_advection_mol("advection_fv4", n)),
+    ("advection_weno", 256,
+     lambda n: _bench_advection_mol("advection_weno", n)),
     ("burgers", 256, _bench_burgers),
     ("swe", 256, _bench_swe),
     ("compressible_rk", 256,
