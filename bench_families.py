@@ -1,7 +1,10 @@
 """Per-solver-family hardware benchmark: ms/step + zone-updates/s rows.
 
-One row per solver family at a standard size, all on the production TPU
-path for that family:
+One row per solver family at a standard size -- all 17 reference
+solvers are covered (compressible CTU is bench.py's headline;
+compressible_react's evolve is the CTU step wrapped in the reference's
+no-op burn/diffuse stubs, so its cost IS the compressible row).  Every
+row times the production TPU path for that family:
 
 * hyperbolic families (advection, burgers, swe) time the solver's jitted
   step as a scan chain (slope over two chain lengths, like bench.py's
