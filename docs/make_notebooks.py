@@ -25,7 +25,8 @@ EXAMPLES = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 
 def script_to_notebook(path):
-    src = open(path).read()
+    with open(path) as fh:
+        src = fh.read()
     tree = ast.parse(src)
     doc = ast.get_docstring(tree) or ""
 

@@ -81,5 +81,6 @@ def test_docs_site_builds(tmp_path, monkeypatch):
     for want in ("index.html", "design.html", "survey.html",
                  "notebooks.html"):
         assert want in built, built
-    idx = open(os.path.join(tmp_path, "index.html")).read()
+    with open(os.path.join(tmp_path, "index.html")) as fh:
+        idx = fh.read()
     assert "pyro2_tpu" in idx and "<table>" in idx
