@@ -59,6 +59,22 @@ class _ShardedMOL(ShardedSim):
         B = integration.b[method]
         C = integration.c[method]
         substep = self.local_sim._make_substep()
+        use_kernel = False
+        if jax.default_backend() == "tpu":
+            # eligible configurations run each stage increment as the
+            # fused Pallas band kernel on the local block (the
+            # single-chip MOL kernel win carried to multi-chip); the
+            # jnp substep stays the fallback
+            from pyro2_tpu.solvers.compressible.pallas_step import \
+                IneligibleStep
+            try:
+                substep = self.local_sim._make_fused_substep()
+                use_kernel = True
+            except IneligibleStep:
+                pass
+            except Exception as e:
+                print(f"WARNING: fused sharded MOL substep build failed "
+                      f"({type(e).__name__}: {e}); using the jnp substep")
 
         def body(U_int, t, dt):
             self._gate_solid()
@@ -79,9 +95,12 @@ class _ShardedMOL(ShardedSim):
             return out[..., ng:-ng, ng:-ng]
 
         spec = P(None, "x", "y")
+        # check_vma off in kernel mode (pallas outputs don't thread
+        # varying-mesh-axes metadata; see sharded_mg.py kernel mode)
         return jax.jit(jax.shard_map(body, mesh=self.mesh,
                                      in_specs=(spec, P(), P()),
-                                     out_specs=spec))
+                                     out_specs=spec,
+                                     check_vma=not use_kernel))
 
 
 class ShardedCompressibleRK(_ShardedMOL):
