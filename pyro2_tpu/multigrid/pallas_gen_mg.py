@@ -26,10 +26,14 @@ MG classes' `_params()` contract), so one compiled cycle serves every
 instance of the same static configuration -- the production case: lm_atm
 constructs a fresh VarCoeffCCMG2d for each of its 3 projections per step.
 
+Levels above pallas_mg.WHOLE_MAX (512) run as ROW-BANDED kernels that
+DMA the coefficient-plane stack per band alongside v/f, extending
+coverage to 1024-2048^2 (12x the jnp cycle measured at 1024^2).
+
 Eligibility (else `Ineligible` -> transparent jnp fallback): exact
 VarCoeffCCMG2d / GeneralMG2d type, square power-of-2 grid with ng=1,
-nx <= WHOLE_MAX (whole-frame kernels; no banded tier for coefficient
-operators yet), homogeneous standard BCs on every edge.
+nx <= pallas_mg.NX_MAX, homogeneous standard BCs on every edge
+(row-periodic BCs cannot band, as in the constant-coefficient tier).
 """
 
 import jax
@@ -44,10 +48,6 @@ from pyro2_tpu.multigrid.pallas_mg import (
     _round8, _round128, _band_geometry, _vmem_specs, _COMPILER_PARAMS)
 
 __all__ = ["build_fused_cycle_general"]
-
-# largest level run as whole-frame peeled kernels; larger levels run as
-# row-banded kernels with the coefficient planes DMA'd per band
-WHOLE_MAX = pallas_mg.WHOLE_MAX
 
 
 # ---------------------------------------------------------------------------

@@ -202,10 +202,17 @@ class ShardedSim:
             # single-chip 3-5x carried to multi-chip); anything else
             # keeps the jnp block step
             if jax.default_backend() == "tpu":
+                fused = None
                 try:
                     fused = self._build_fused()
-                except Exception:
-                    fused = None
+                except Exception as e:
+                    # _build_fused returns None for coverage gates; an
+                    # exception here is an unexpected build failure --
+                    # fall back but always say so (a silent 3-5x
+                    # slowdown would mask the bug)
+                    print(f"WARNING: fused sharded step build failed "
+                          f"({type(e).__name__}: {e}); using the jnp "
+                          "block step")
                 if fused is not None:
                     self._step = fused
         self._dt_fn = self._build_dt()
@@ -401,11 +408,11 @@ class ShardedSim:
                     any((base.xl, base.xr, base.yl, base.yr))):
                 return None
             from pyro2_tpu.solvers.compressible.pallas_step import (
-                _pick_tile, make_pallas_ctu_step_padded)
+                _vmem_tile, make_pallas_ctu_step_padded)
             to_p, from_p, _f, step_p = make_pallas_ctu_step_padded(
                 lg.nx, lg.ny, lg.dx, lg.dy, rp.get_param("eos.gamma"),
                 rp.params, self.local_sim.ivars,
-                tile_rows=_pick_tile(lg.nx), interpret=interpret)
+                tile_rows=_vmem_tile(lg.nx, lg.ny), interpret=interpret)
 
             def kstep(U, t, dt):
                 return from_p(step_p(to_p(U), dt))

@@ -218,11 +218,12 @@ class ShardedLMAtm:
             c = jnp.zeros((g_f.qx, g_f.qy), coeff.dtype)
             c = c.at[g_f.ilo:g_f.ihi + 1, g_f.jlo:g_f.jhi + 1].set(valid)
             c = fill_ghost(c, g_f, bc_dens)
+            # the edge hierarchy restricts edge-to-edge (exactly the
+            # serial chain, variable_coeff_MG.py:72); the serial class's
+            # parallel cell-centered aux["coeffs"] chain is bookkeeping
+            # the solve never reads, so it is not rebuilt here
             edges = [ec.EdgeCoeffs(g_f, c)]
-            cc = c
             for n in range(nlevels - 2, -1, -1):
-                cc = restrict_array(cc, grids[n + 1], grids[n])
-                cc = fill_ghost(cc, grids[n], bc_dens)
                 edges.insert(0, edges[0].restrict())
             cp = {"eta_x": ShardedMG._dummy_tail(
                       tuple(e.x for e in edges), k_cross),

@@ -1100,12 +1100,30 @@ def make_sharded_mg(*args, **kwargs):
     """A ShardedMG with the fused Pallas kernels enabled on TPU when the
     configuration supports them (transparent jnp-cycle construction
     otherwise).  The solver tiers (diffusion, incompressible +/- viscous,
-    burgers_viscous) build their inline MG through this."""
+    burgers_viscous) build their inline MG through this.
+
+    The kernels compile lazily inside the solve jit, so a Mosaic
+    failure would otherwise surface mid-production; a warm-up solve at
+    construction forces that compile NOW and falls back to the jnp
+    cycles if it fails (the serial fused cycle eager-compiles for the
+    same reason, pallas_gen_mg.build_fused_cycle_general)."""
     if jax.default_backend() == "tpu" and "use_pallas" not in kwargs:
         try:
-            return ShardedMG(*args, use_pallas=True, **kwargs)
-        except ValueError:
-            pass
+            smg = ShardedMG(*args, use_pallas=True, **kwargs)
+            # warm-up: rtol above the 1e33 initial residual -> the
+            # while_loop body never runs, but jit compiles it (kernels
+            # included); state is untouched zeros
+            smg.init_zeros()
+            smg.init_RHS(jnp.zeros_like(smg.f_int))
+            smg.solve(rtol=1.e34)
+            smg.init_zeros()
+            smg.initialized_rhs = 0
+            return smg
+        except Exception as e:
+            if not isinstance(e, ValueError):
+                print(f"WARNING: fused sharded MG unavailable "
+                      f"({type(e).__name__}: {str(e)[:120]}); using the "
+                      "jnp cycles")
     return ShardedMG(*args, **kwargs)
 
 

@@ -102,6 +102,15 @@ def make_pallas_mol_substep(sim, builder, tile_rows=None, interpret=False):
         raise IneligibleStep("MOL kernels are Cartesian-only")
     if sim.problem_source is not None:
         raise IneligibleStep("problem source terms use global coordinates")
+    if sim.rp.get_param("compressible.small_dens") > 0.0:
+        # a positive density floor applies to the GLOBAL interior; the
+        # band substep would also floor its x-halo rows' reads and skip
+        # flooring global y-ghosts, diverging from the jnp substep near
+        # band seams (the CTU kernel gates this with a band_i mask;
+        # the MOL kernels keep it simple and stay on the jnp path).
+        # Non-positive floors are exact no-ops on finite states.
+        raise IneligibleStep("positive small_dens needs the band-gated "
+                             "global-interior floor")
     rp = sim.rp
     ivars = sim.ivars
 

@@ -81,9 +81,9 @@ class Simulation(compressible.Simulation):
             fn = None
             if jax.default_backend() == "tpu":
                 # eligible configurations run the stage increment as the
-                # fused Pallas band kernel (fv4/sdc; the rk 2nd-order
-                # pipeline has no kernel tier yet) -- every evolve
-                # (host RK loop, SDC sweep) then routes through it
+                # fused Pallas band kernel (rk, fv4, and sdc each have
+                # one via _make_fused_substep) -- every evolve (host RK
+                # loop, SDC sweep) then routes through it
                 from pyro2_tpu.solvers.compressible.pallas_step import \
                     IneligibleStep
                 try:

@@ -23,7 +23,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from pyro2_tpu.mesh.grid import Cartesian2d
 from pyro2_tpu.solvers.compressible.pallas_step import (
-    NG, NGX, IneligibleStep, _pick_tile)
+    NG, NGX, IneligibleStep, _vmem_tile)
 
 __all__ = ["make_pallas_swe_step_padded", "IneligibleStep"]
 
@@ -88,7 +88,8 @@ def make_pallas_swe_step_padded(sim, tile_rows=None, interpret=False):
     ivars = sim.ivars
 
     nx, ny = myg.nx, myg.ny
-    tile_rows = tile_rows or _pick_tile(nx)
+    # VMEM-aware: wide grids shrink the band instead of overflowing
+    tile_rows = tile_rows or _vmem_tile(nx, ny)
     n_tiles = nx // tile_rows
     nvar = ivars.nvar
     qy = ny + 2 * NG

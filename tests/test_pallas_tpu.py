@@ -218,8 +218,9 @@ def test_production_step_auto_fused():
         "driver.verbose": 0, "vis.dovis": 0, "io.do_io": 0,
         "particles.do_particles": 0})
     sim = p.sim
-    # the wired step is NOT the plain jnp jit (the fused adapter)
-    assert sim._step.__wrapped__.__name__ == "step"
+    # the wired step IS the fused adapter (qualname pins the builder;
+    # the jnp _make_step's inner fn is also named plain "step")
+    assert "_make_fused_step" in sim._step.__wrapped__.__qualname__
 
     sim.cc_data.fill_BC_all()
     U0 = sim.cc_data.data.astype(jnp.float32)
@@ -323,7 +324,7 @@ def test_swe_production_step_auto_fused():
         "mesh.nx": 64, "mesh.ny": 64,
         "driver.verbose": 0, "vis.dovis": 0, "io.do_io": 0})
     sim = p.sim
-    assert sim._step.__wrapped__.__name__ == "step"
+    assert "_make_fused_step" in sim._step.__wrapped__.__qualname__
     sim.cc_data.fill_BC_all()
     U0 = sim.cc_data.data.astype(jnp.float32)
     dt = jnp.asarray(5e-4, jnp.float32)
@@ -352,6 +353,7 @@ def test_fv4_substep_bitwise_vs_jnp():
     dt = jnp.asarray(1e-3, jnp.float32)
 
     fused = sim._substep_fn()     # auto-routed on TPU
+    assert "make_pallas_mol_substep" in fused.__wrapped__.__qualname__
     k_f = fused(U0, 0.0, dt)
     k_j = jax.jit(sim._make_substep())(U0, 0.0, dt)
     assert bool(jnp.all(k_f == k_j))
@@ -379,6 +381,7 @@ def test_rk_substep_vs_jnp():
     U0 = sim.cc_data.data.astype(jnp.float32)
     dt = jnp.asarray(1e-3, jnp.float32)
     fused = sim._substep_fn()
+    assert "make_pallas_mol_substep" in fused.__wrapped__.__qualname__
     k_f = fused(U0, 0.0, dt)
     k_j = jax.jit(sim._make_substep())(U0, 0.0, dt)
     scale = float(jnp.max(jnp.abs(k_j)))
