@@ -4,27 +4,30 @@
 Hat states on the buf=2 window; upwind/Riemann on the asymmetric
 (lo-1, hi+2) window; transverse + gradp/source corrections fused on the
 buf=1 window -- all matching the reference's loop ranges (zeros outside).
+
+The window placements go through `indexer.embed`, so the whole pipeline
+is scatter-free and frame-agnostic: the same source runs at the jnp
+level (windowed pads) and inside the fused Pallas band kernels
+(pallas_interface.py, full-frame rolls + iota masks).
 """
 
 import jax.numpy as jnp
 
-from pyro2_tpu.mesh.indexer import ai
+from pyro2_tpu.mesh.indexer import ai, embed
 
 __all__ = ["mac_vels", "states", "rho_states", "upwind", "riemann",
            "riemann_and_upwind", "get_interface_states"]
 
 
 def _put(like, g, vals, buf_lo, buf_hi, ishift=0, jshift=0):
-    out = jnp.zeros_like(like)
-    return out.at[g.ilo - buf_lo + ishift:g.ihi + 1 + buf_hi + ishift,
-                  g.jlo - buf_lo + jshift:g.jhi + 1 + buf_hi + jshift].set(
-        vals)
+    del like
+    return embed(vals, g, (buf_lo, buf_hi, buf_lo, buf_hi),
+                 ishift=ishift, jshift=jshift)
 
 
 def _add(arr, g, vals, buf_lo, buf_hi, ishift=0, jshift=0):
-    return arr.at[g.ilo - buf_lo + ishift:g.ihi + 1 + buf_hi + ishift,
-                  g.jlo - buf_lo + jshift:g.jhi + 1 + buf_hi + jshift].add(
-        vals)
+    return arr + embed(vals, g, (buf_lo, buf_hi, buf_lo, buf_hi),
+                       ishift=ishift, jshift=jshift)
 
 
 def _w12(a, g):

@@ -118,6 +118,44 @@ class Simulation(NullSimulation):
         """Subtract the base-state profile: a' = a - a0(y)."""
         return a - jnp.asarray(a0.full2d())
 
+    def _lm_kernels(self):
+        """The fused Pallas interface-stage kernels, or None.
+
+        On TPU, eligible grids route the three LM_atm_interface call
+        sites (mac_vels / rho advection / full states) through the fused
+        band kernels (pallas_interface.py) transparently; the jnp path
+        stays the reference implementation and the fallback.  Set
+        PYRO2_LM_PALLAS=interpret to force the interpret-mode kernels
+        (CPU end-to-end testing)."""
+        if not hasattr(self, "_lm_kern"):
+            import os
+
+            import jax
+
+            from pyro2_tpu.solvers.lm_atm import pallas_interface
+
+            self._lm_kern = None
+            mode = os.environ.get("PYRO2_LM_PALLAS", "")
+            want = jax.default_backend() == "tpu" or mode
+            if want and mode != "off":
+                try:
+                    self._lm_kern = pallas_interface.\
+                        make_lm_interface_kernels(
+                            self, interpret=(mode == "interpret"))
+                except pallas_interface.IneligibleStep as e:
+                    # expected: configuration outside the kernels'
+                    # coverage -- the jnp path is the designed fallback
+                    if self.verbose > 0:
+                        print(f"lm_atm kernels ineligible ({e}); "
+                              "using the jnp stages")
+                except Exception as e:
+                    # unexpected (a Mosaic/compile regression): keep
+                    # running on the jnp path, but always say so
+                    print(f"WARNING: lm_atm kernel build failed "
+                          f"({type(e).__name__}: {e}); using the jnp "
+                          "stages")
+        return self._lm_kern
+
     def method_compute_timestep(self):
         """CFL dt plus the buoyancy-limited dt (for U ~ 0 starts)."""
         myg = self.cc_data.grid
@@ -255,10 +293,16 @@ class Simulation(NullSimulation):
         self.aux_data.fill_BC("source_y")
         source = self.aux_data.get_var("source_y")
 
-        u_MAC, v_MAC = lm_interface.mac_vels(
-            myg, myg.dx, myg.dy, dt, u, v,
-            ldelta_ux, ldelta_vx, ldelta_uy, ldelta_vy,
-            coeff * gradp_x, coeff * gradp_y, source)
+        kern = self._lm_kernels()
+        if kern is not None:
+            u_MAC, v_MAC = kern.mac_vels(
+                dt, u, v, ldelta_ux, ldelta_vx, ldelta_uy, ldelta_vy,
+                coeff * gradp_x, coeff * gradp_y, source)
+        else:
+            u_MAC, v_MAC = lm_interface.mac_vels(
+                myg, myg.dx, myg.dy, dt, u, v,
+                ldelta_ux, ldelta_vx, ldelta_uy, ldelta_vy,
+                coeff * gradp_x, coeff * gradp_y, source)
 
         # --- MAC projection ------------------------------------------------
         if self.verbose > 0:
@@ -299,18 +343,23 @@ class Simulation(NullSimulation):
             -coeff_y * (pm.v(buf=by) - pm.jp(-1, buf=by)) / myg.dy)
 
         # --- advect rho' ----------------------------------------------------
-        rho_xint, rho_yint = lm_interface.rho_states(
-            myg, myg.dx, myg.dy, dt, rho, u_MAC, v_MAC,
-            ldelta_rx, ldelta_ry)
-
         rho_old = rho
-        rxi = ai(rho_xint, myg)
-        ryi = ai(rho_yint, myg)
         um = ai(u_MAC, myg)
         vm = ai(v_MAC, myg)
-        rho = rho.at[myg.ilo:myg.ihi + 1, myg.jlo:myg.jhi + 1].add(
-            -dt * ((rxi.ip(1) * um.ip(1) - rxi.v() * um.v()) / myg.dx +
-                   (ryi.jp(1) * vm.jp(1) - ryi.v() * vm.v()) / myg.dy))
+        if kern is not None:
+            rho = rho.at[myg.ilo:myg.ihi + 1, myg.jlo:myg.jhi + 1].add(
+                kern.rho_increment(dt, rho, u_MAC, v_MAC,
+                                   ldelta_rx, ldelta_ry))
+        else:
+            rho_xint, rho_yint = lm_interface.rho_states(
+                myg, myg.dx, myg.dy, dt, rho, u_MAC, v_MAC,
+                ldelta_rx, ldelta_ry)
+            rxi = ai(rho_xint, myg)
+            ryi = ai(rho_yint, myg)
+            rho = rho.at[myg.ilo:myg.ihi + 1, myg.jlo:myg.jhi + 1].add(
+                -dt * ((rxi.ip(1) * um.ip(1) - rxi.v() * um.v()) / myg.dx
+                       + (ryi.jp(1) * vm.jp(1) -
+                          ryi.v() * vm.v()) / myg.dy))
         self.cc_data.set_var("density", rho)
         self.cc_data.fill_BC("density")
         rho = self.cc_data.get_var("density")
@@ -329,27 +378,32 @@ class Simulation(NullSimulation):
         self.aux_data.fill_BC("coeff")
         coeff = self.aux_data.get_var("coeff")
 
-        u_xint, v_xint, u_yint, v_yint = lm_interface.states(
-            myg, myg.dx, myg.dy, dt, u, v,
-            ldelta_ux, ldelta_vx, ldelta_uy, ldelta_vy,
-            coeff * gradp_x, coeff * gradp_y, source, u_MAC, v_MAC)
+        if kern is not None:
+            advect_x_v, advect_y_v = kern.advect_terms(
+                dt, u, v, ldelta_ux, ldelta_vx, ldelta_uy, ldelta_vy,
+                coeff * gradp_x, coeff * gradp_y, source, u_MAC, v_MAC)
+        else:
+            u_xint, v_xint, u_yint, v_yint = lm_interface.states(
+                myg, myg.dx, myg.dy, dt, u, v,
+                ldelta_ux, ldelta_vx, ldelta_uy, ldelta_vy,
+                coeff * gradp_x, coeff * gradp_y, source, u_MAC, v_MAC)
+
+            uxi = ai(u_xint, myg)
+            vxi = ai(v_xint, myg)
+            uyi = ai(u_yint, myg)
+            vyi = ai(v_yint, myg)
+            advect_x_v = (0.5 * (um.v() + um.ip(1)) *
+                          (uxi.ip(1) - uxi.v()) / myg.dx +
+                          0.5 * (vm.v() + vm.jp(1)) *
+                          (uyi.jp(1) - uyi.v()) / myg.dy)
+            advect_y_v = (0.5 * (um.v() + um.ip(1)) *
+                          (vxi.ip(1) - vxi.v()) / myg.dx +
+                          0.5 * (vm.v() + vm.jp(1)) *
+                          (vyi.jp(1) - vyi.v()) / myg.dy)
 
         # --- provisional velocity update ------------------------------------
         if self.verbose > 0:
             print("  doing provisional update of u, v")
-
-        uxi = ai(u_xint, myg)
-        vxi = ai(v_xint, myg)
-        uyi = ai(u_yint, myg)
-        vyi = ai(v_yint, myg)
-        advect_x_v = (0.5 * (um.v() + um.ip(1)) *
-                      (uxi.ip(1) - uxi.v()) / myg.dx +
-                      0.5 * (vm.v() + vm.jp(1)) *
-                      (uyi.jp(1) - uyi.v()) / myg.dy)
-        advect_y_v = (0.5 * (um.v() + um.ip(1)) *
-                      (vxi.ip(1) - vxi.v()) / myg.dx +
-                      0.5 * (vm.v() + vm.jp(1)) *
-                      (vyi.jp(1) - vyi.v()) / myg.dy)
 
         proj_type = self.rp.get_param("lm-atmosphere.proj_type")
         sl = (slice(myg.ilo, myg.ihi + 1), slice(myg.jlo, myg.jhi + 1))

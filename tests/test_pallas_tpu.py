@@ -423,3 +423,104 @@ def test_ensemble_kernel_bitwise_vs_single():
         ref = from1(step1(fill1(to1(U)), dt))
         assert bool(jnp.all(out_e[i][:, ng:-ng, ng:-ng] ==
                             ref[:, ng:-ng, ng:-ng]))
+
+
+def test_lm_interface_kernels_vs_jnp():
+    """The fused lm_atm interface-stage kernels (lm_atm/pallas_interface)
+    vs the jnp LM_atm_interface stages on-device.  Parity is ulp-level
+    (Mosaic vs XLA fma contraction; see tests/test_lm_pallas.py for the
+    window-semantics design that makes it exact up to contraction)."""
+    import numpy as np
+
+    import pyro2_tpu.solvers.lm_atm.LM_atm_interface as lm_interface
+    from pyro2_tpu.mesh.grid import Cartesian2d
+    from pyro2_tpu.mesh.indexer import ai
+    from pyro2_tpu.solvers.lm_atm import pallas_interface
+
+    g = Cartesian2d(64, 64, ng=4, xmax=1.0, ymax=1.0)
+    rng = np.random.default_rng(7)
+
+    def mk(lo=-1.0, hi=1.0):
+        return jnp.asarray(rng.uniform(lo, hi, size=(g.qx, g.qy)),
+                           jnp.float32)
+
+    u, v = mk(0.2, 1.2), mk(-1.2, -0.2)
+    rho = mk(0.5, 1.5)
+    lux, lvx, luy, lvy, lrx, lry = [mk() for _ in range(6)]
+    gpx, gpy, src = mk(), mk(), mk()
+    dt = jnp.float32(0.01)
+
+    class _CC:
+        grid = g
+
+    class _Sim:
+        cc_data = _CC()
+
+    kern = pallas_interface.make_lm_interface_kernels(
+        _Sim(), tile_rows=16)
+    mac_args = (u, v, lux, lvx, luy, lvy, gpx, gpy, src)
+
+    um_k, vm_k = kern.mac_vels(dt, *mac_args)
+    um_j, vm_j = lm_interface.mac_vels(g, g.dx, g.dy, dt, *mac_args)
+    np.testing.assert_allclose(np.asarray(um_k), np.asarray(um_j),
+                               rtol=5e-6, atol=5e-6)
+    np.testing.assert_allclose(np.asarray(vm_k), np.asarray(vm_j),
+                               rtol=5e-6, atol=5e-6)
+
+    inc_k = kern.rho_increment(dt, rho, um_j, vm_j, lrx, lry)
+    rho_xint, rho_yint = lm_interface.rho_states(
+        g, g.dx, g.dy, dt, rho, um_j, vm_j, lrx, lry)
+    rxi, ryi = ai(rho_xint, g), ai(rho_yint, g)
+    umi, vmi = ai(um_j, g), ai(vm_j, g)
+    inc_j = -dt * (
+        (rxi.ip(1) * umi.ip(1) - rxi.v() * umi.v()) / g.dx +
+        (ryi.jp(1) * vmi.jp(1) - ryi.v() * vmi.v()) / g.dy)
+    np.testing.assert_allclose(np.asarray(inc_k), np.asarray(inc_j),
+                               rtol=5e-6, atol=5e-6)
+
+    ax_k, ay_k = kern.advect_terms(dt, *mac_args, um_j, vm_j)
+    u_xint, v_xint, u_yint, v_yint = lm_interface.states(
+        g, g.dx, g.dy, dt, *mac_args, um_j, vm_j)
+    uxi, vxi = ai(u_xint, g), ai(v_xint, g)
+    uyi, vyi = ai(u_yint, g), ai(v_yint, g)
+    ax_j = (0.5 * (umi.v() + umi.ip(1)) * (uxi.ip(1) - uxi.v()) / g.dx +
+            0.5 * (vmi.v() + vmi.jp(1)) * (uyi.jp(1) - uyi.v()) / g.dy)
+    ay_j = (0.5 * (umi.v() + umi.ip(1)) * (vxi.ip(1) - vxi.v()) / g.dx +
+            0.5 * (vmi.v() + vmi.jp(1)) * (vyi.jp(1) - vyi.v()) / g.dy)
+    np.testing.assert_allclose(np.asarray(ax_k), np.asarray(ax_j),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(ay_k), np.asarray(ay_j),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_lm_atm_evolve_auto_routes_kernels():
+    """On TPU the lm_atm evolve routes its three interface-stage call
+    sites through the fused kernels (simulation._lm_kernels)."""
+    import importlib
+
+    from pyro2_tpu.solvers import lm_atm
+    from pyro2_tpu.util.runparams import RuntimeParameters
+
+    pm = importlib.import_module(
+        "pyro2_tpu.solvers.lm_atm.problems.bubble")
+    rp = RuntimeParameters()
+    rp.load_params("pyro2_tpu/_defaults")
+    rp.load_params("pyro2_tpu/solvers/lm_atm/_defaults")
+    for k, val in pm.PROBLEM_PARAMS.items():
+        if k not in rp.params:
+            rp.set_param(k, val, no_new=False)
+    for k, val in {"mesh.nx": 64, "mesh.ny": 64,
+                   "bubble.x_pert": 0.5, "bubble.y_pert": 0.35,
+                   "bubble.r_pert": 0.15, "bubble.scale_height": 1.0,
+                   "driver.verbose": 0, "vis.dovis": 0,
+                   "io.do_io": 0}.items():
+        rp.set_param(k, val, no_new=False)
+    sim = lm_atm.Simulation("lm_atm", "bubble", pm.init_data, rp)
+    sim.initialize()
+    sim.cc_data.fill_BC_all()
+    assert sim._lm_kernels() is not None
+    sim.preevolve()
+    sim.cc_data.fill_BC_all()
+    sim.method_compute_timestep()
+    sim.evolve()          # runs through the kernels end-to-end
+    assert bool(jnp.isfinite(sim.cc_data.data).all())
