@@ -15,12 +15,13 @@ def makeplot(plotfile_name, outfile, *, width=None, height=None, dpi=100):
 
     sim = io.read(plotfile_name)
 
-    sizes = {}
+    # reuse-or-reset figure 1, setting size/dpi explicitly (figure()
+    # kwargs are silently ignored -- with a warning -- when the figure
+    # already exists in this process)
+    fig = plt.figure(num=1, clear=True)
+    fig.set_dpi(dpi)
     if width is not None and height is not None:
-        sizes = {"figsize": (width, height)}
-    # num=1 + clear: reuse-or-reset (a pre-existing figure 1 in the same
-    # process would otherwise warn that its size args are ignored)
-    plt.figure(num=1, clear=True, dpi=dpi, **sizes)
+        fig.set_size_inches(width, height)
 
     sim.dovis()
     plt.savefig(outfile, bbox_inches="tight", dpi=dpi)
