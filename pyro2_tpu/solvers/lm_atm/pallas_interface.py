@@ -139,7 +139,10 @@ class LMInterfaceKernels:
                            [(0, 0, 0), (NGX - NG, NGX - NG, 0),
                             (0, self.qy_pad - self.qy, 0)])
 
-    def _get(self, name, n_in, n_out, local_fn):
+    def _get(self, name, n_in, n_out, local_fn, post=None):
+        """A cached jitted runner: pad -> band kernel -> slice core rows
+        -> optional `post(core, dt, planes)` assembly, all in ONE jit
+        (eager per-op dispatch through the TPU tunnel would dominate)."""
         if name not in self._calls:
             call = _band_call(n_in, n_out, self.nx, self.qy_pad,
                               self.tile, local_fn, self.interpret)
@@ -148,7 +151,8 @@ class LMInterfaceKernels:
             def run(dt, *planes):
                 P = self._pad(planes)
                 O = call(jnp.asarray([dt], jnp.float32), P)
-                return O[:, NGX:NGX + self.nx, :self.qy]
+                core = O[:, NGX:NGX + self.nx, :self.qy]
+                return post(core, dt, planes) if post else core
 
             self._calls[name] = run
         return self._calls[name]
@@ -163,21 +167,14 @@ class LMInterfaceKernels:
                 S[0], S[1], S[2], S[3], S[4], S[5], S[6], S[7], S[8])
         return jnp.stack([um, vm])[:, gb.ilo:gb.ihi + 1, :]
 
-    def mac_vels(self, dt, u, v, lux, lvx, luy, lvy, gpx, gpy, src):
-        """u_MAC, v_MAC with the jnp path's exact layout and window
-        semantics (zeros outside the (lo-1, hi+2) window; the
-        partially-corrected window-edge rows/columns from the slabs)."""
-        planes = (u, v, lux, lvx, luy, lvy, gpx, gpy, src)
-        dt = jnp.float32(dt)           # slabs and band agree on f32
-        run = self._get("mac", 9, 2, self._local_mac)
-        core = run(dt, *planes)        # global interior rows lo..hi
-
-        # edge slabs: identical jnp pipeline on thin strips whose window
-        # truncation coincides with the global one.  Row slabs supply
-        # rows lo-1 / hi+1 / hi+2; the column slab supplies col jhi+2
-        # (the band's lane padding moves the j-window truncation beyond
-        # the real ghost columns, so the kernel's top ghost columns
-        # carry untruncated values there).
+    def _post_mac(self, core, dt, planes):
+        """Assemble the full padded MAC planes: band interiors + edge
+        slabs.  The slabs run the identical jnp pipeline on thin strips
+        whose window truncation coincides with the global one; row
+        slabs supply rows lo-1 / hi+1 / hi+2, the column slab supplies
+        col jhi+2 (the band's lane padding moves the j-window
+        truncation beyond the real ghost columns, so the kernel's top
+        ghost columns carry untruncated values there)."""
         sq = 2 * NG + SLAB
         f32 = [p.astype(jnp.float32) for p in planes]
         dx, dy = self.myg.dx, self.myg.dy
@@ -198,6 +195,16 @@ class LMInterfaceKernels:
         out = out.at[:, NG + self.nx:NG + self.nx + 2, :].set(
             jnp.stack([um_t[sq - NG:sq - NG + 2],
                        vm_t[sq - NG:sq - NG + 2]], 0))
+        return out
+
+    def mac_vels(self, dt, u, v, lux, lvx, luy, lvy, gpx, gpy, src):
+        """u_MAC, v_MAC with the jnp path's exact layout and window
+        semantics (zeros outside the (lo-1, hi+2) window; the
+        partially-corrected window-edge rows/columns from the slabs)."""
+        run = self._get("mac", 9, 2, self._local_mac,
+                        post=self._post_mac)
+        out = run(jnp.float32(dt), u, v, lux, lvx, luy, lvy, gpx, gpy,
+                  src)
         return out[0].astype(u.dtype), out[1].astype(u.dtype)
 
     # -- rho advection ----------------------------------------------------
@@ -219,10 +226,12 @@ class LMInterfaceKernels:
 
     def rho_increment(self, dt, rho, u_MAC, v_MAC, lrx, lry):
         """The (nx, ny) interior density update increment
-        (-dt * div(rho_int U_MAC)), bitwise the jnp path's."""
-        run = self._get("rho", 5, 1, self._local_rho)
-        out = run(dt, rho, u_MAC, v_MAC, lrx, lry)
-        return out[0, :, NG:NG + self.ny].astype(rho.dtype)
+        (-dt * div(rho_int U_MAC)), matching the jnp path's."""
+        run = self._get("rho", 5, 1, self._local_rho,
+                        post=lambda core, dt, planes:
+                        core[0, :, NG:NG + self.ny])
+        return run(jnp.float32(dt), rho, u_MAC, v_MAC, lrx,
+                   lry).astype(rho.dtype)
 
     # -- full states + advective terms ------------------------------------
 
@@ -250,12 +259,12 @@ class LMInterfaceKernels:
     def advect_terms(self, dt, u, v, lux, lvx, luy, lvy, gpx, gpy, src,
                      u_MAC, v_MAC):
         """The (nx, ny) interior advective terms of the provisional
-        velocity update, bitwise the jnp path's."""
-        run = self._get("states", 11, 2, self._local_states)
-        out = run(dt, u, v, lux, lvx, luy, lvy, gpx, gpy, src,
-                  u_MAC, v_MAC)
-        sl = (slice(None), slice(None), slice(NG, NG + self.ny))
-        ax, ay = out[sl]
+        velocity update, matching the jnp path's."""
+        run = self._get("states", 11, 2, self._local_states,
+                        post=lambda core, dt, planes:
+                        core[:, :, NG:NG + self.ny])
+        ax, ay = run(jnp.float32(dt), u, v, lux, lvx, luy, lvy, gpx,
+                     gpy, src, u_MAC, v_MAC)
         return ax.astype(u.dtype), ay.astype(u.dtype)
 
 
