@@ -794,11 +794,47 @@ def bench_our_cpu_compressible():
     return 256 * 256 * 5 / elapsed
 
 
+def _emit_partial(stage, zups, ms_step, extras):
+    """Print a provisional compact JSON line after each major stage.
+
+    The remote-compile tunnel can wedge a stage indefinitely (observed
+    twice in the round-5 MG section); if the driver then kills the
+    bench, the LAST complete line in its combined-output tail is still
+    a parseable record of everything benched so far.  The final
+    emission in main() supersedes these."""
+    vs_prev = None
+    try:
+        here = os.path.dirname(os.path.realpath(__file__))
+        with open(os.path.join(here, "BENCH_DETAIL.json")) as fh:
+            prev = json.load(fh)
+        if prev.get("our_cpu_compressible_zups"):
+            vs_prev = zups / prev["our_cpu_compressible_zups"]
+    except Exception:
+        pass
+    fams = extras.get("families", {})
+    line = {
+        "metric": "zone-updates/s/chip (compressible CTU 1024^2, f32)",
+        "value": round(zups, 1),
+        "unit": "zones/s",
+        "vs_baseline": round(vs_prev, 2) if vs_prev else None,
+        "ms_per_step": round(ms_step, 4),
+        "partial_through": stage,
+        "family_zups": {k: v.get("zups", v.get("error", "?"))
+                        for k, v in fams.items()} or None,
+    }
+    s = json.dumps(line)
+    if len(s) > 1800:
+        line.pop("family_zups", None)
+        s = json.dumps(line)
+    print(s, flush=True)
+
+
 def main():
     sim, rp = _make_sim()
     zups, ms_step, dt, used_pallas = bench_ctu(sim, rp)
 
     extras = {}
+    _emit_partial("ctu", zups, ms_step, extras)
     if used_pallas:
         try:
             extras["stage_ms"] = bench_stages(sim, rp, dt)
@@ -818,15 +854,13 @@ def main():
         extras["roofline"] = bench_roofline(sim, zups)
     except Exception as e:
         _log(f"roofline failed: {e}")
-    try:
-        extras.update(bench_mg())
-    except Exception as e:
-        _log(f"MG bench failed: {e}")
+    _emit_partial("roofline", zups, ms_step, extras)
     try:
         from bench_families import bench_families
         extras["families"] = bench_families(log=_log)
     except Exception as e:
         _log(f"family bench failed: {type(e).__name__}: {e}")
+    _emit_partial("families", zups, ms_step, extras)
     try:
         extras.update(bench_ensemble())
     except Exception as e:
@@ -835,6 +869,15 @@ def main():
         extras.update(bench_ctu_sizes(rp))
     except Exception as e:
         _log(f"ctu size envelope failed: {type(e).__name__}: {e}")
+    _emit_partial("ctu_sizes", zups, ms_step, extras)
+    # the MG section runs LAST among the on-chip stages: its 512^2
+    # solve/IR compiles are the largest compile requests in the suite
+    # and the ones the tunnel has wedged on
+    try:
+        extras.update(bench_mg())
+    except Exception as e:
+        _log(f"MG bench failed: {e}")
+    _emit_partial("mg", zups, ms_step, extras)
 
     ref_zups = None
     try:
