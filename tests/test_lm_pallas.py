@@ -122,6 +122,24 @@ def test_advect_terms_parity(fields):
     np.testing.assert_allclose(np.asarray(ay_k), np.asarray(ay_j), **tol)
 
 
+def test_mac_vels_parity_rectangular():
+    """nx != ny (and a different lane-pad ratio) through the band."""
+    g = Cartesian2d(96, 32, ng=4, xmax=3.0, ymax=1.0)
+    rng = np.random.default_rng(3)
+
+    def mk(lo=-1.0, hi=1.0):
+        return jnp.asarray(rng.uniform(lo, hi, size=(g.qx, g.qy)),
+                           jnp.float32)
+
+    args = (mk(0.2, 1.2), mk(-1.2, -0.2), mk(), mk(), mk(), mk(),
+            mk(), mk(), mk())
+    dt = jnp.float32(0.004)
+    um_k, vm_k = _kern(g, 32).mac_vels(dt, *args)
+    um_j, vm_j = lm_interface.mac_vels(g, g.dx, g.dy, dt, *args)
+    np.testing.assert_allclose(np.asarray(um_k), np.asarray(um_j), **TOL)
+    np.testing.assert_allclose(np.asarray(vm_k), np.asarray(vm_j), **TOL)
+
+
 def test_ineligible_small_grid():
     from pyro2_tpu.solvers.lm_atm import pallas_interface
     g = Cartesian2d(16, 16, ng=4, xmax=1.0, ymax=1.0)
